@@ -1,0 +1,9 @@
+from nflows_tpu.core.module import (
+    Module,
+    buffer,
+    combine,
+    field,
+    is_trainable_leaf,
+    partition,
+    static,
+)
