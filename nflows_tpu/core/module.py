@@ -79,28 +79,32 @@ class _ModuleMeta(type):
     def __new__(mcs, name, bases, namespace):
         cls = super().__new__(mcs, name, bases, namespace)
 
+        # Inherit field kinds/defaults from bases (MRO order, base-first),
+        # then apply this class's own annotations + sentinels on top.
         defaults: Dict[str, Any] = {}
-        # Merge annotations across MRO in definition order (bases first).
         seen: Dict[str, str] = {}
-        for klass in reversed(cls.__mro__):
-            for fname, _ in getattr(klass, "__annotations__", {}).items():
-                if fname.startswith("_"):
-                    continue
-                spec = klass.__dict__.get(fname, None)
-                if isinstance(spec, _FieldSpec):
-                    kind = spec.kind
-                    if spec.has_default:
-                        defaults[fname] = spec.default
-                    # Remove the sentinel so it is never read as a value.
-                    if fname in cls.__dict__ and cls.__dict__[fname] is spec:
-                        delattr(cls, fname)
-                elif fname in seen:
-                    kind = seen[fname]  # re-annotation keeps prior kind
-                else:
-                    kind = "param"
-                    if spec is not None and not callable(spec):
-                        defaults[fname] = spec
-                seen[fname] = kind
+        for klass in reversed(cls.__mro__[1:]):
+            seen.update(getattr(klass, "_field_kinds", {}))
+            defaults.update(getattr(klass, "_field_defaults", {}))
+        for fname in namespace.get("__annotations__", {}):
+            if fname.startswith("_"):
+                continue
+            spec = namespace.get(fname, None)
+            if isinstance(spec, _FieldSpec):
+                kind = spec.kind
+                if spec.has_default:
+                    defaults[fname] = spec.default
+                # Remove the sentinel so it is never read as a value.
+                if cls.__dict__.get(fname) is spec:
+                    delattr(cls, fname)
+            elif fname in seen:
+                kind = seen[fname]  # re-annotation keeps inherited kind
+            else:
+                kind = "param"
+                if spec is not None and not callable(spec):
+                    defaults[fname] = spec
+            seen[fname] = kind
+        cls._field_kinds = dict(seen)
 
         child_fields = tuple(f for f, k in seen.items() if k in ("param", "buffer"))
         static_fields = tuple(f for f, k in seen.items() if k == "static")

@@ -40,7 +40,10 @@ def _mask_and_degrees(in_degrees: np.ndarray, out_features: int,
     if is_output:
         base = _get_input_degrees(autoregressive_features)
         reps = out_features // autoregressive_features
-        out_degrees = np.tile(base, reps)
+        # Each degree repeated `reps` times contiguously, so reshaping the
+        # output to [batch, features, multiplier] keeps feature k's params at
+        # [:, k, :] (reference torchutils.tile semantics, torchutils.py:8-16).
+        out_degrees = np.repeat(base, reps)
         mask = (out_degrees[None, :] > in_degrees[:, None]).astype(np.float32)
     else:
         if random_mask:
@@ -213,6 +216,8 @@ class MADE(Module):
     final_layer: MaskedDense
     use_residual_blocks: bool = static()
     activation: object = static()
+    features: int = static()
+    hidden_features: int = static()
 
     def __init__(self, features, hidden_features, context_features=None,
                  num_blocks=2, output_multiplier=1, use_residual_blocks=True,
@@ -224,6 +229,8 @@ class MADE(Module):
         keys = jax.random.split(key, num_blocks + 3)
         if rng is None:
             rng = np.random.default_rng()
+        self.features = features
+        self.hidden_features = hidden_features
 
         self.initial_layer = MaskedDense(
             in_degrees=_get_input_degrees(features),

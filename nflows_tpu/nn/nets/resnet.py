@@ -104,6 +104,7 @@ class ResidualNet(Module):
     blocks: tuple
     final_layer: Dense
     context_features: object = static()
+    hidden_features: int = static()
 
     def __init__(self, in_features, out_features, hidden_features,
                  context_features=None, num_blocks=2, key=None,
@@ -112,6 +113,7 @@ class ResidualNet(Module):
         key = ensure_key(key)
         keys = jax.random.split(key, num_blocks + 2)
         self.context_features = context_features
+        self.hidden_features = hidden_features
         in_total = in_features + (context_features or 0)
         self.initial_layer = Dense(in_total, hidden_features, key=keys[0])
         self.blocks = tuple(
@@ -198,6 +200,7 @@ class ConvResidualNet(Module):
     blocks: tuple
     final_layer: Conv2d
     context_channels: object = static()
+    hidden_channels: int = static()
 
     def __init__(self, in_channels, out_channels, hidden_channels,
                  context_channels=None, num_blocks=2, key=None,
@@ -206,6 +209,7 @@ class ConvResidualNet(Module):
         key = ensure_key(key)
         keys = jax.random.split(key, num_blocks + 2)
         self.context_channels = context_channels
+        self.hidden_channels = hidden_channels
         in_total = in_channels + (context_channels or 0)
         self.initial_layer = Conv2d(in_total, hidden_channels, kernel_size=1,
                                     padding=0, key=keys[0])

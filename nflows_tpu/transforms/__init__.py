@@ -1,3 +1,11 @@
+from nflows_tpu.transforms.autoregressive import (
+    AutoregressiveTransform,
+    MaskedAffineAutoregressiveTransform,
+    MaskedPiecewiseCubicAutoregressiveTransform,
+    MaskedPiecewiseLinearAutoregressiveTransform,
+    MaskedPiecewiseQuadraticAutoregressiveTransform,
+    MaskedPiecewiseRationalQuadraticAutoregressiveTransform,
+)
 from nflows_tpu.transforms.base import (
     CompositeTransform,
     InputOutsideDomain,
@@ -5,6 +13,16 @@ from nflows_tpu.transforms.base import (
     InverseTransform,
     MultiscaleCompositeTransform,
     Transform,
+)
+from nflows_tpu.transforms.coupling import (
+    AdditiveCouplingTransform,
+    AffineCouplingTransform,
+    CouplingTransform,
+    PiecewiseCouplingTransform,
+    PiecewiseCubicCouplingTransform,
+    PiecewiseLinearCouplingTransform,
+    PiecewiseQuadraticCouplingTransform,
+    PiecewiseRationalQuadraticCouplingTransform,
 )
 from nflows_tpu.transforms.permutations import (
     Permutation,
@@ -17,3 +35,7 @@ from nflows_tpu.transforms.standard import (
     IdentityTransform,
     PointwiseAffineTransform,
 )
+
+# MADE lives in nn/ but is re-exported here for reference API parity
+# (reference keeps it at nflows/transforms/made.py with a TODO to move it).
+from nflows_tpu.nn.made import MADE

@@ -22,11 +22,12 @@ __all__ = [
 
 
 def tile(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Repeat a flattened copy of ``x`` n times (reference torchutils.py:8-13)."""
+    """Each element of flattened ``x`` repeated n times contiguously:
+    [a, b] -> [a, a, b, b] (reference torchutils.py:8-16)."""
     if not check.is_positive_int(n):
         raise TypeError("Argument 'n' must be a positive integer.")
     x_ = x.reshape(-1)
-    x_ = jnp.broadcast_to(x_[None, :], (n, x_.shape[0]))
+    x_ = jnp.broadcast_to(x_[:, None], (x_.shape[0], n))
     return x_.reshape(-1)
 
 
