@@ -9,5 +9,5 @@ Pallas-fused spline kernels, and mesh-sharded multi-chip execution.
 __version__ = "0.1.0"
 
 from nflows_tpu import distributions, flows, transforms, utils
-from nflows_tpu.core.module import Module, combine, partition
+from nflows_tpu.core.module import Module, combine, partition, set_training
 from nflows_tpu.flows.base import Flow

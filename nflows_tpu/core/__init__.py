@@ -5,5 +5,6 @@ from nflows_tpu.core.module import (
     field,
     is_trainable_leaf,
     partition,
+    set_training,
     static,
 )

@@ -258,6 +258,25 @@ def partition(module: Any) -> Tuple[Any, Any]:
     return _split(module, True), _split(module, False)
 
 
+def set_training(tree: Any, mode: bool) -> Any:
+    """Return a copy of the pytree with every Module's ``training`` static
+    field set to ``mode`` (the analogue of torch's .train()/.eval())."""
+
+    def walk(x):
+        if isinstance(x, Module):
+            updates = {f: walk(getattr(x, f)) for f in type(x)._child_fields}
+            if "training" in type(x)._static_fields:
+                updates["training"] = mode
+            return x.replace(**updates)
+        if isinstance(x, (tuple, list)):
+            return type(x)(walk(v) for v in x)
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        return x
+
+    return walk(tree)
+
+
 def combine(params: Any, rest: Any) -> Any:
     """Inverse of :func:`partition`."""
     return jax.tree_util.tree_map(

@@ -24,6 +24,23 @@ from nflows_tpu.transforms.coupling import (
     PiecewiseQuadraticCouplingTransform,
     PiecewiseRationalQuadraticCouplingTransform,
 )
+from nflows_tpu.transforms.nonlinearities import (
+    CauchyCDF,
+    CauchyCDFInverse,
+    CompositeCDFTransform,
+    Exp,
+    GatedLinearUnit,
+    LeakyReLU,
+    Logit,
+    LogTanh,
+    PiecewiseCubicCDF,
+    PiecewiseLinearCDF,
+    PiecewiseQuadraticCDF,
+    PiecewiseRationalQuadraticCDF,
+    Sigmoid,
+    Tanh,
+)
+from nflows_tpu.transforms.normalization import ActNorm, BatchNorm
 from nflows_tpu.transforms.permutations import (
     Permutation,
     RandomPermutation,

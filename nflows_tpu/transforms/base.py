@@ -61,6 +61,19 @@ class Transform(Module):
     def inverse(self, inputs: Array, context: Optional[Array] = None) -> Tuple[Array, Array]:
         raise InverseNotAvailable()
 
+    def initialize_with_data(self, inputs: Array, context: Optional[Array] = None):
+        """Explicit data-dependent initialization / statistics pass.
+
+        Returns ``(new_transform, outputs)``. The reference mutates state
+        lazily inside forward (ActNorm init, normalization.py:175-218;
+        BatchNorm running stats, normalization.py:104-107); in JAX state is
+        immutable, so stateful transforms override this and the training
+        loop calls it explicitly (see nflows_tpu.training). The default is
+        a no-op pass-through.
+        """
+        outputs, _ = self.forward(inputs, context)
+        return self, outputs
+
 
 class CompositeTransform(Transform):
     """Composes several transforms into one, in the order given
@@ -88,6 +101,14 @@ class CompositeTransform(Transform):
     def inverse(self, inputs, context=None):
         funcs = tuple(t.inverse for t in self.transforms[::-1])
         return self._cascade(inputs, funcs, context)
+
+    def initialize_with_data(self, inputs, context=None):
+        new_transforms = []
+        outputs = inputs
+        for t in self.transforms:
+            t_new, outputs = t.initialize_with_data(outputs, context)
+            new_transforms.append(t_new)
+        return self.replace(transforms=tuple(new_transforms)), outputs
 
 
 class MultiscaleCompositeTransform(Transform):
