@@ -1,0 +1,5 @@
+"""Prebuilt model families."""
+
+from nflows_tpu.flows.autoregressive import MaskedAutoregressiveFlow
+from nflows_tpu.flows.realnvp import SimpleRealNVP
+from nflows_tpu.models.nsf import NeuralSplineFlow

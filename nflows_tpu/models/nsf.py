@@ -1,0 +1,74 @@
+"""Neural Spline Flow prebuilt — the flagship model.
+
+RQ-spline coupling flow in the configuration of the NSF paper (Durkan et
+al. 2019, arXiv:1906.04032), which the reference library implements
+piecemeal (coupling.py:502-582) but never packages. Stack of
+``num_layers`` x [random-feature permutation, RQ-spline coupling with
+ResidualNet conditioner (alternating masks)], StandardNormal base.
+
+This is the model `bench.py` and `__graft_entry__.py` run: all FLOPs are
+conditioner GEMMs (MXU) and the fused spline kernel (VPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from nflows_tpu.distributions.normal import StandardNormal
+from nflows_tpu.flows.base import Flow
+from nflows_tpu.nn import nets
+from nflows_tpu.nn.primitives import ensure_key
+from nflows_tpu.transforms.base import CompositeTransform
+from nflows_tpu.transforms.coupling import PiecewiseRationalQuadraticCouplingTransform
+from nflows_tpu.transforms.permutations import RandomPermutation, ReversePermutation
+from nflows_tpu.utils.masks import create_alternating_binary_mask
+
+__all__ = ["NeuralSplineFlow"]
+
+
+class NeuralSplineFlow(Flow):
+    """RQ-NSF (coupling) for tabular data."""
+
+    def __init__(self, features, hidden_features, num_layers=10,
+                 num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+                 context_features=None, use_random_permutations=True,
+                 key=None, activation=jax.nn.relu, dropout_probability=0.0,
+                 batch_norm_within_layers=False, rng=None):
+        key = ensure_key(key)
+        keys = jax.random.split(key, num_layers)
+        if rng is None:
+            rng = np.random.default_rng(0)
+
+        layers = []
+        for i in range(num_layers):
+            if use_random_permutations:
+                layers.append(RandomPermutation(features, rng=rng))
+            else:
+                layers.append(ReversePermutation(features))
+            layer_key = keys[i]
+
+            def create_net(in_f, out_f, _k=layer_key):
+                return nets.ResidualNet(
+                    in_f, out_f,
+                    hidden_features=hidden_features,
+                    context_features=context_features,
+                    num_blocks=num_blocks_per_layer,
+                    key=_k,
+                    activation=activation,
+                    dropout_probability=dropout_probability,
+                    use_batch_norm=batch_norm_within_layers,
+                )
+
+            layers.append(PiecewiseRationalQuadraticCouplingTransform(
+                mask=create_alternating_binary_mask(features, even=bool(i % 2)),
+                transform_net_create_fn=create_net,
+                num_bins=num_bins,
+                tails="linear",
+                tail_bound=tail_bound,
+            ))
+
+        super().__init__(
+            transform=CompositeTransform(layers),
+            distribution=StandardNormal([features]),
+        )

@@ -1,0 +1,144 @@
+"""Mesh-sharded training and sampling.
+
+Data-parallel SPMD via ``shard_map``: each device computes the loss/grad on
+its batch shard; gradients are reduced with ``psum`` over the ``data`` axis
+(the TPU equivalent of the reference's nonexistent NCCL allreduce —
+SURVEY.md §2.6). Parameters and optimizer state are replicated (or
+TP-sharded via :func:`tensor_parallel_sharding`), so after the psum every
+device applies an identical update — no parameter broadcast needed.
+
+Sampling scales the same way: the sample axis is sharded over ``data``
+(the flow analogue of sequence parallelism), each device inverting the
+transform chain on its shard with a device-unique PRNG fold.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from nflows_tpu.core.module import combine, partition
+from nflows_tpu.parallel.mesh import data_sharding, replicated
+from nflows_tpu.training.train import TrainState, nll_loss
+
+__all__ = [
+    "make_sharded_train_step",
+    "make_sharded_sampler",
+    "tensor_parallel_sharding",
+    "apply_tensor_parallelism",
+]
+
+
+def make_sharded_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Callable = nll_loss,
+    donate: bool = True,
+    with_context: bool = False,
+):
+    """Build a pjit-compiled DP train step over ``mesh``.
+
+    ``step(state, batch[, context]) -> (state, metrics)`` with the batch
+    (and context) sharded on the 'data' axis. Loss/grads are the global
+    batch mean via pmean over ICI.
+    """
+
+    state_spec = P()       # replicated params/opt state
+    batch_spec = P("data")
+
+    def local_step(state: TrainState, batch, context=None):
+        def compute_loss(params):
+            flow = combine(params, state.rest)
+            # local mean; pmean'd below so the loss/grad is the global
+            # batch mean regardless of shard count
+            return loss_fn(flow, batch, context)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        loss = jax.lax.pmean(loss, axis_name="data")
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axis_name="data"), grads
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss}
+
+    in_specs = (state_spec, batch_spec) + ((batch_spec,) if with_context else ())
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_sampler(flow_template, mesh: Mesh, num_samples_per_device: int):
+    """Build ``sample(flow, key) -> [n_data_devices * n_per_device, ...]``.
+
+    Each device draws its own shard with a key folded by its mesh position,
+    then inverts the transform chain locally; the result is a globally
+    sharded sample array (gather it only if the host needs it).
+    """
+
+    def local_sample(flow, key):
+        idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, idx)
+        return flow._sample(key, num_samples_per_device, None)
+
+    sharded = shard_map(
+        local_sample,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism over conditioner hidden dims
+# ---------------------------------------------------------------------------
+
+def tensor_parallel_sharding(flow, mesh: Mesh):
+    """Build a pytree of NamedShardings for ``flow``: conditioner
+    hidden-by-hidden Dense weights sharded over 'model', all else replicated.
+
+    Flows are narrow; TP pays off only for very wide conditioners
+    (SURVEY.md §2.6 marks TP optional). The rule used here: any 2-D weight
+    whose trailing dim is divisible by the model-axis size gets column
+    sharding P(None, 'model'); matching biases get P('model') when
+    divisible. XLA inserts the all-gathers/reduce-scatters over ICI.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if leaf is None or not hasattr(leaf, "ndim"):
+            return None
+        name = path[-1].name if hasattr(path[-1], "name") else str(path[-1])
+        if leaf.ndim == 2 and name == "weight" and leaf.shape[-1] % model_size == 0:
+            return NamedSharding(mesh, P(None, "model"))
+        if leaf.ndim == 1 and name == "bias" and leaf.shape[0] % model_size == 0:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, flow)
+
+
+def apply_tensor_parallelism(flow, mesh: Mesh):
+    """device_put the flow with TP shardings from tensor_parallel_sharding."""
+    shardings = tensor_parallel_sharding(flow, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s) if s is not None else x,
+        flow, shardings,
+        is_leaf=lambda x: x is None,
+    )
