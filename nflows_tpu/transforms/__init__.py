@@ -56,3 +56,10 @@ from nflows_tpu.transforms.standard import (
 # MADE lives in nn/ but is re-exported here for reference API parity
 # (reference keeps it at nflows/transforms/made.py with a TODO to move it).
 from nflows_tpu.nn.made import MADE
+from nflows_tpu.transforms.conv import OneByOneConvolution
+from nflows_tpu.transforms.linear import Linear, NaiveLinear
+from nflows_tpu.transforms.lu import LULinear
+from nflows_tpu.transforms.orthogonal import HouseholderSequence
+from nflows_tpu.transforms.qr import QRLinear
+from nflows_tpu.transforms.reshape import SqueezeTransform
+from nflows_tpu.transforms.svd import SVDLinear
