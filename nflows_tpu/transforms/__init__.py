@@ -1,5 +1,6 @@
 from nflows_tpu.transforms.autoregressive import (
     AutoregressiveTransform,
+    MaskedUMNNAutoregressiveTransform,
     MaskedAffineAutoregressiveTransform,
     MaskedPiecewiseCubicAutoregressiveTransform,
     MaskedPiecewiseLinearAutoregressiveTransform,
@@ -23,6 +24,7 @@ from nflows_tpu.transforms.coupling import (
     PiecewiseLinearCouplingTransform,
     PiecewiseQuadraticCouplingTransform,
     PiecewiseRationalQuadraticCouplingTransform,
+    UMNNCouplingTransform,
 )
 from nflows_tpu.transforms.nonlinearities import (
     CauchyCDF,
@@ -63,3 +65,4 @@ from nflows_tpu.transforms.orthogonal import HouseholderSequence
 from nflows_tpu.transforms.qr import QRLinear
 from nflows_tpu.transforms.reshape import SqueezeTransform
 from nflows_tpu.transforms.svd import SVDLinear
+from nflows_tpu.transforms.umnn import IntegrandNet, MonotonicNormalizer

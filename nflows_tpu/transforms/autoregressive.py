@@ -358,3 +358,48 @@ class MaskedPiecewiseRationalQuadraticAutoregressiveTransform(_MaskedPiecewiseAu
             **kwargs,
         )
         return outputs, shapeutils.sum_except_batch(logabsdet)
+
+
+class MaskedUMNNAutoregressiveTransform(AutoregressiveTransform):
+    """UMNN autoregressive transform (reference autoregressive.py:131-192):
+    MADE emits a ``cond_size`` embedding per feature; the shared
+    MonotonicNormalizer integrates natively (transforms/umnn.py)."""
+
+    features: int = static()
+    cond_size: int = static()
+    transformer: object
+
+    def __init__(self, features, hidden_features, context_features=None,
+                 num_blocks=2, use_residual_blocks=True, random_mask=False,
+                 key=None, activation=jax.nn.relu, dropout_probability=0.0,
+                 use_batch_norm=False, integrand_net_layers=(50, 50, 50),
+                 cond_size=20, nb_steps=20, solver="CCParallel"):
+        from nflows_tpu.transforms.umnn import MonotonicNormalizer
+        from nflows_tpu.nn.primitives import ensure_key
+        key = ensure_key(key)
+        made_key, t_key = jax.random.split(key)
+        self.features = features
+        self.cond_size = cond_size
+        made = _build_made(
+            features, hidden_features, context_features, num_blocks,
+            self._output_dim_multiplier(), use_residual_blocks, random_mask,
+            made_key, activation, dropout_probability, use_batch_norm,
+        )
+        super().__init__(made)
+        self.transformer = MonotonicNormalizer(
+            list(integrand_net_layers), cond_size, nb_steps, solver, key=t_key
+        )
+
+    def _output_dim_multiplier(self):
+        return self.cond_size
+
+    def _elementwise_forward(self, inputs, autoregressive_params):
+        h = autoregressive_params.reshape(inputs.shape[0], inputs.shape[1], -1)
+        z, jac = self.transformer.forward(inputs, h)
+        return z, jnp.sum(jnp.log(jac), axis=1)
+
+    def _elementwise_inverse(self, inputs, autoregressive_params):
+        h = autoregressive_params.reshape(inputs.shape[0], inputs.shape[1], -1)
+        x = self.transformer.inverse_transform(inputs, h)
+        _, jac = self.transformer.forward(x, h)
+        return x, -jnp.sum(jnp.log(jac), axis=1)

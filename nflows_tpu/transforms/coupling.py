@@ -462,3 +462,71 @@ class PiecewiseRationalQuadraticCouplingTransform(PiecewiseCouplingTransform):
             min_derivative=self.min_derivative,
             **kwargs,
         )
+
+
+class UMNNCouplingTransform(CouplingTransform):
+    """Unconstrained monotonic neural network coupling
+    (reference coupling.py:145-209; Wehenkel & Louppe, NeurIPS 2019).
+
+    The conditioner emits a ``cond_size`` embedding per transformed feature;
+    the shared MonotonicNormalizer integrates a positive integrand net via
+    native Clenshaw–Curtis quadrature (see transforms/umnn.py).
+    """
+
+    transformer: object
+    cond_size: int = static()
+
+    def __init__(self, mask, transform_net_create_fn,
+                 integrand_net_layers=(50, 50, 50), cond_size=20, nb_steps=20,
+                 solver="CCParallel", apply_unconditional_transform=False,
+                 key=None):
+        from nflows_tpu.transforms.umnn import MonotonicNormalizer
+        if apply_unconditional_transform:
+            raise NotImplementedError(
+                "apply_unconditional_transform is not supported for UMNN "
+                "coupling (the reference's path is also non-functional: it "
+                "passes a context where the normalizer expects conditioner "
+                "embeddings)."
+            )
+        self.cond_size = cond_size
+        super().__init__(mask, transform_net_create_fn, unconditional_transform=None)
+        self.transformer = MonotonicNormalizer(
+            list(integrand_net_layers), cond_size, nb_steps, solver, key=key
+        )
+
+    def _transform_dim_multiplier(self):
+        return self.cond_size
+
+    def _reshape_params(self, inputs, transform_params):
+        if inputs.ndim == 2:
+            return transform_params.reshape(
+                inputs.shape[0], inputs.shape[1], -1
+            )
+        raise NotImplementedError  # image path handled in callers
+
+    def _coupling_transform_forward(self, inputs, transform_params):
+        if inputs.ndim == 2:
+            z, jac = self.transformer.forward(
+                inputs, self._reshape_params(inputs, transform_params)
+            )
+            return z, jnp.sum(jnp.log(jac), axis=1)
+        b, c, h, w = inputs.shape
+        flat_x = inputs.transpose(0, 2, 3, 1).reshape(-1, c)
+        flat_h = transform_params.transpose(0, 2, 3, 1).reshape(-1, 1, transform_params.shape[1])
+        z, jac = self.transformer.forward(flat_x, flat_h)
+        log_det = jnp.sum(jnp.log(jac).reshape(b, -1), axis=1)
+        return z.reshape(b, h, w, c).transpose(0, 3, 1, 2), log_det
+
+    def _coupling_transform_inverse(self, inputs, transform_params):
+        if inputs.ndim == 2:
+            params = self._reshape_params(inputs, transform_params)
+            x = self.transformer.inverse_transform(inputs, params)
+            _, jac = self.transformer.forward(x, params)
+            return x, -jnp.sum(jnp.log(jac), axis=1)
+        b, c, h, w = inputs.shape
+        flat_z = inputs.transpose(0, 2, 3, 1).reshape(-1, c)
+        flat_h = transform_params.transpose(0, 2, 3, 1).reshape(-1, 1, transform_params.shape[1])
+        x = self.transformer.inverse_transform(flat_z, flat_h)
+        _, jac = self.transformer.forward(x, flat_h)
+        log_det = -jnp.sum(jnp.log(jac).reshape(b, -1), axis=1)
+        return x.reshape(b, h, w, c).transpose(0, 3, 1, 2), log_det
