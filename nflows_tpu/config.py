@@ -1,0 +1,38 @@
+"""Global runtime configuration for nflows_tpu.
+
+Small, explicit switches — the library has no config-file system, matching
+the reference's kwargs-as-config philosophy (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+
+_state = {
+    # Opt-in: route RQ-spline evaluation through the fused Pallas kernel.
+    # Default False: XLA's own fusion is already near bandwidth-bound for
+    # the training path, and compiling many Pallas kernel instances inside
+    # one big differentiated program is slow through remote-compile setups.
+    # The kernel's sweet spot is sampling/eval (fused inverse, 1.5-2.6x in
+    # isolation) — enable with set_pallas_splines(True) or
+    # NFLOWS_TPU_ENABLE_PALLAS=1.
+    "use_pallas_splines": None,
+}
+
+
+def use_pallas_splines(enable=None):
+    """Get/set whether RQ-spline evaluation uses the fused Pallas kernel."""
+    if enable is not None:
+        _state["use_pallas_splines"] = bool(enable)
+        return _state["use_pallas_splines"]
+    setting = _state["use_pallas_splines"]
+    if setting is not None:
+        return setting
+    if os.environ.get("NFLOWS_TPU_ENABLE_PALLAS"):
+        from nflows_tpu.ops.pallas.rq_spline import pallas_available
+        return pallas_available()
+    return False
+
+
+def set_pallas_splines(enable: bool) -> None:
+    _state["use_pallas_splines"] = bool(enable)

@@ -167,9 +167,28 @@ def unconstrained_rational_quadratic_spline(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """RQ spline on [-B, B] with identity (linear) tails outside
     (reference rational_quadratic.py:13-63). Derivative params are padded
-    with the constant making boundary derivatives exactly 1."""
+    with the constant making boundary derivatives exactly 1.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/rq_spline.py) when the configuration allows — same
+    numerics, single fused VMEM pass. Toggle with
+    nflows_tpu.config.set_pallas_splines."""
     if tails != "linear":
         raise NotImplementedError(f"{tails} tails are not implemented.")
+
+    if (
+        not enable_identity_init
+        and unnormalized_derivatives.shape[-1] == unnormalized_widths.shape[-1] - 1
+    ):
+        from nflows_tpu import config
+        if config.use_pallas_splines():
+            from nflows_tpu.ops.pallas.rq_spline import rq_spline_pallas
+            return rq_spline_pallas(
+                inputs, unnormalized_widths, unnormalized_heights,
+                unnormalized_derivatives, inverse=inverse,
+                tail_bound=tail_bound, min_bin_width=min_bin_width,
+                min_bin_height=min_bin_height, min_derivative=min_derivative,
+            )
 
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
 

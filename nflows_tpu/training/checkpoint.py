@@ -1,0 +1,90 @@
+"""Checkpoint / resume subsystem (orbax-backed).
+
+The reference has no checkpoint subsystem — persistence is the torch
+``state_dict`` convention (SURVEY.md §5). Here the whole ``TrainState``
+(params + buffers + optimizer state + step) is one pytree; statics
+(masks' degrees, configs, callables) live in the treedef and are
+reconstructed from a template at restore time, so a checkpoint is exactly
+the array leaves.
+
+ActNorm's ``initialized`` flag and BatchNorm running stats are ordinary
+pytree content and round-trip automatically (the reference must remember
+to register such buffers, e.g. normalization.py:157).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "CheckpointManager"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Save a pytree (TrainState, flow, params...) to ``path`` (a directory)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``template`` is a pytree with the same structure (e.g. a freshly
+    constructed TrainState); its array leaves provide shapes/dtypes and its
+    treedef provides all statics.
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x,
+        template,
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
+class CheckpointManager:
+    """Step-indexed checkpoint rotation for long trainings (resume support).
+
+    Thin wrapper over orbax CheckpointManager: ``save(step, state)`` /
+    ``restore(template, step=None)`` / ``latest_step()``.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        import orbax.checkpoint as ocp
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        import orbax.checkpoint as ocp
+        if step is None:
+            step = self._mgr.latest_step()
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x,
+            template,
+        )
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self):
+        self._mgr.close()
