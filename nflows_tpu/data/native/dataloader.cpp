@@ -1,0 +1,170 @@
+// Native data pipeline for nflows_tpu: threaded shuffle/gather batcher.
+//
+// The reference (bayesiains/nflows) has no data pipeline at all — users
+// index torch tensors in the training loop. For production TPU training the
+// host must keep the device fed: this component runs Fisher–Yates epoch
+// shuffles and batch gathers on background threads, filling a bounded ring
+// of pre-gathered batch buffers so the Python step loop only ever does a
+// pointer-copy pop. Exposed through a minimal C ABI (ctypes-friendly).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
+//
+// Concurrency notes: one mutex + two condvars around a fixed ring; workers
+// gather into their own slot buffers; shutdown via atomic flag + broadcast.
+// The data matrix itself is read-only shared state (no false sharing).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Batch {
+  std::vector<float> values;   // [batch, dim] (+ [batch, cdim] context appended)
+};
+
+class Loader {
+ public:
+  Loader(const float* data, const float* context, int64_t n, int64_t dim,
+         int64_t cdim, int64_t batch, uint64_t seed, int num_workers,
+         int capacity, bool drop_last)
+      : n_(n), dim_(dim), cdim_(cdim), batch_(batch), drop_last_(drop_last),
+        capacity_(capacity < 2 ? 2 : capacity), stop_(false), epoch_(0) {
+    data_.assign(data, data + n * dim);
+    if (context != nullptr && cdim > 0) {
+      context_.assign(context, context + n * cdim);
+    }
+    base_seed_ = seed;
+    if (num_workers < 1) num_workers = 1;
+    // A single producer owns the shuffle order (determinism); extra workers
+    // parallelize the gather of one batch by striding rows.
+    producer_ = std::thread(&Loader::ProducerLoop, this, num_workers);
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    not_full_.notify_all();
+    not_empty_.notify_all();
+    if (producer_.joinable()) producer_.join();
+  }
+
+  // Blocking pop; returns rows actually written (< batch only for the
+  // final partial batch of an epoch when drop_last is false).
+  int64_t Next(float* out_data, float* out_context) {
+    std::unique_lock<std::mutex> lk(mu_);
+    not_empty_.wait(lk, [&] { return !ring_.empty() || stop_; });
+    if (ring_.empty()) return -1;
+    Batch b = std::move(ring_.front());
+    ring_.erase(ring_.begin());
+    lk.unlock();
+    not_full_.notify_one();
+
+    const int64_t rows = static_cast<int64_t>(b.values.size()) /
+                         (dim_ + (context_.empty() ? 0 : cdim_));
+    std::memcpy(out_data, b.values.data(), rows * dim_ * sizeof(float));
+    if (!context_.empty() && out_context != nullptr) {
+      std::memcpy(out_context, b.values.data() + rows * dim_,
+                  rows * cdim_ * sizeof(float));
+    }
+    return rows;
+  }
+
+ private:
+  void GatherRows(const std::vector<int64_t>& order, int64_t start,
+                  int64_t rows, int nthreads, Batch* out) {
+    out->values.resize(rows * (dim_ + (context_.empty() ? 0 : cdim_)));
+    float* dst = out->values.data();
+    float* cdst = dst + rows * dim_;
+    if (rows < 1024) nthreads = 1;  // gather cost below threading overhead
+    auto work = [&](int t) {
+      for (int64_t r = t; r < rows; r += nthreads) {
+        const int64_t src = order[start + r];
+        std::memcpy(dst + r * dim_, data_.data() + src * dim_,
+                    dim_ * sizeof(float));
+        if (!context_.empty()) {
+          std::memcpy(cdst + r * cdim_, context_.data() + src * cdim_,
+                      cdim_ * sizeof(float));
+        }
+      }
+    };
+    if (nthreads <= 1) {
+      work(0);
+      return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; ++t) ts.emplace_back(work, t);
+    work(0);
+    for (auto& t : ts) t.join();
+  }
+
+  void ProducerLoop(int num_workers) {
+    std::vector<int64_t> order(n_);
+    for (int64_t i = 0; i < n_; ++i) order[i] = i;
+    while (true) {
+      // Deterministic per-epoch shuffle.
+      std::mt19937_64 rng(base_seed_ + 0x9e3779b97f4a7c15ULL * (++epoch_));
+      for (int64_t i = n_ - 1; i > 0; --i) {
+        std::uniform_int_distribution<int64_t> d(0, i);
+        std::swap(order[i], order[d(rng)]);
+      }
+      for (int64_t start = 0; start < n_; start += batch_) {
+        int64_t rows = std::min(batch_, n_ - start);
+        if (rows < batch_ && drop_last_) break;
+        Batch b;
+        GatherRows(order, start, rows, num_workers, &b);
+        std::unique_lock<std::mutex> lk(mu_);
+        not_full_.wait(lk, [&] {
+          return static_cast<int>(ring_.size()) < capacity_ || stop_;
+        });
+        if (stop_) return;
+        ring_.push_back(std::move(b));
+        lk.unlock();
+        not_empty_.notify_one();
+      }
+    }
+  }
+
+  std::vector<float> data_;
+  std::vector<float> context_;
+  int64_t n_, dim_, cdim_, batch_;
+  bool drop_last_;
+  int capacity_;
+  uint64_t base_seed_;
+
+  std::mutex mu_;
+  std::condition_variable not_empty_, not_full_;
+  std::vector<Batch> ring_;
+  std::atomic<bool> stop_;
+  uint64_t epoch_;
+  std::thread producer_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* nflows_loader_create(const float* data, const float* context,
+                           int64_t n, int64_t dim, int64_t cdim,
+                           int64_t batch, uint64_t seed, int num_workers,
+                           int capacity, int drop_last) {
+  return new Loader(data, context, n, dim, cdim, batch, seed, num_workers,
+                    capacity, drop_last != 0);
+}
+
+int64_t nflows_loader_next(void* handle, float* out_data, float* out_context) {
+  return static_cast<Loader*>(handle)->Next(out_data, out_context);
+}
+
+void nflows_loader_destroy(void* handle) {
+  delete static_cast<Loader*>(handle);
+}
+
+}  // extern "C"
