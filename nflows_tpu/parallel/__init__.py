@@ -11,3 +11,10 @@ from nflows_tpu.parallel.train import (
     make_sharded_train_step,
     tensor_parallel_sharding,
 )
+from nflows_tpu.parallel.vi import (
+    effective_sample_size,
+    elbo_loss,
+    importance_weighted_bound,
+    make_sharded_vi_step,
+    sharded_importance_weights,
+)
