@@ -26,6 +26,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # Standard TPU training configuration: bf16 MXU matmuls, fp32 accumulate
+    # (spline/logdet numerics stay fp32 elementwise). See config.py.
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+
     from nflows_tpu.models import NeuralSplineFlow
     from nflows_tpu.training import create_train_state, make_train_step
 

@@ -36,3 +36,15 @@ def use_pallas_splines(enable=None):
 
 def set_pallas_splines(enable: bool) -> None:
     _state["use_pallas_splines"] = bool(enable)
+
+
+def set_matmul_precision(precision: str = "bfloat16") -> None:
+    """Set the default MXU matmul precision for fp32 operands.
+
+    'bfloat16' runs conditioner GEMMs as single-pass bf16 MXU ops with fp32
+    accumulation (the standard TPU training configuration, ~1.5x faster on
+    this workload); 'highest' keeps 6-pass fp32-exact matmuls. Spline
+    numerics are elementwise VPU code and unaffected either way.
+    """
+    import jax
+    jax.config.update("jax_default_matmul_precision", precision)

@@ -106,8 +106,12 @@ def rational_quadratic_spline(
     input_cumheights = binning.select_bin(cumheights[..., :-1], onehot)
     delta = heights / widths
     input_delta = binning.select_bin(delta, onehot)
-    input_derivatives = binning.select_bin(derivatives[..., :-1], onehot)
-    input_derivatives_plus_one = binning.select_bin(derivatives[..., 1:], onehot)
+    # Only entries 0..K are reachable by the bin index — the reference's
+    # gather semantics (rational_quadratic.py:127-128), which silently
+    # tolerates over-length derivative vectors.
+    input_derivatives = binning.select_bin(derivatives[..., :num_bins], onehot)
+    input_derivatives_plus_one = binning.select_bin(
+        derivatives[..., 1:num_bins + 1], onehot)
     input_heights = binning.select_bin(heights, onehot)
 
     d_sum = input_derivatives + input_derivatives_plus_one - 2 * input_delta
