@@ -2,4 +2,6 @@
 
 from nflows_tpu.flows.autoregressive import MaskedAutoregressiveFlow
 from nflows_tpu.flows.realnvp import SimpleRealNVP
+from nflows_tpu.models.glow import GlowFlow
+from nflows_tpu.models.iaf import InverseAutoregressiveFlow
 from nflows_tpu.models.nsf import NeuralSplineFlow

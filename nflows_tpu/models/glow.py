@@ -1,0 +1,91 @@
+"""Glow-style multiscale image flow prebuilt.
+
+The reference ships all the parts (SqueezeTransform, ActNorm,
+OneByOneConvolution, conv coupling, MultiscaleCompositeTransform) but never
+a packaged image model; this assembles them in the Glow configuration
+(Kingma & Dhariwal 2018): per level, squeeze then K x [ActNorm -> 1x1 conv
+-> coupling(ConvResidualNet)], splitting off half the channels between
+levels. Outputs are flattened (multiscale convention).
+
+Call ``flow = flow.initialize_actnorms(batch)`` once with a data batch
+before training (explicit data-dependent init — ActNorm state is immutable).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from nflows_tpu.distributions.normal import StandardNormal
+from nflows_tpu.flows.base import Flow
+from nflows_tpu.nn.nets import ConvResidualNet
+from nflows_tpu.nn.primitives import ensure_key
+from nflows_tpu.transforms.base import CompositeTransform, MultiscaleCompositeTransform
+from nflows_tpu.transforms.conv import OneByOneConvolution
+from nflows_tpu.transforms.coupling import (
+    AffineCouplingTransform,
+    PiecewiseRationalQuadraticCouplingTransform,
+)
+from nflows_tpu.transforms.normalization import ActNorm
+from nflows_tpu.transforms.reshape import SqueezeTransform
+from nflows_tpu.utils.masks import create_mid_split_binary_mask
+
+__all__ = ["GlowFlow"]
+
+
+class GlowFlow(Flow):
+    """Multiscale Glow for NCHW images of shape (C, H, W)."""
+
+    def __init__(self, image_shape, num_levels=2, steps_per_level=4,
+                 hidden_channels=64, coupling="affine", num_bins=4,
+                 key=None, rng=None):
+        key = ensure_key(key)
+        if rng is None:
+            rng = np.random.default_rng(0)
+        c, h, w = image_shape
+        keys = jax.random.split(key, num_levels * steps_per_level + 1)
+
+        builder = MultiscaleCompositeTransform.builder(num_transforms=num_levels)
+        shape = (c, h, w)
+        k_idx = 0
+        for level in range(num_levels):
+            squeeze = SqueezeTransform(factor=2)
+            sc, sh, sw = squeeze.get_output_shape(*shape)
+            level_layers = [squeeze]
+            for _ in range(steps_per_level):
+                layer_key = keys[k_idx]
+                k_idx += 1
+                level_layers.append(ActNorm(sc))
+                level_layers.append(OneByOneConvolution(sc, rng=rng,
+                                                        key=layer_key))
+
+                def create_net(in_c, out_c, _k=layer_key):
+                    return ConvResidualNet(in_c, out_c,
+                                           hidden_channels=hidden_channels,
+                                           num_blocks=2, key=_k)
+
+                mask = create_mid_split_binary_mask(sc)
+                if coupling == "affine":
+                    level_layers.append(AffineCouplingTransform(mask, create_net))
+                elif coupling == "rq":
+                    level_layers.append(
+                        PiecewiseRationalQuadraticCouplingTransform(
+                            mask, create_net, num_bins=num_bins,
+                            tails="linear", tail_bound=3.0))
+                else:
+                    raise ValueError(f"unknown coupling {coupling!r}")
+            next_shape = builder.add_transform(
+                CompositeTransform(level_layers), (sc, sh, sw))
+            if next_shape is not None:
+                shape = next_shape
+
+        transform = builder.build()
+        super().__init__(
+            transform=transform,
+            distribution=StandardNormal([c * h * w]),
+        )
+
+    def initialize_actnorms(self, batch) -> "GlowFlow":
+        """Data-dependent ActNorm init; returns an initialized copy."""
+        new_transform, _ = self.transform.initialize_with_data(batch)
+        return self.replace(transform=new_transform)

@@ -203,6 +203,23 @@ class MultiscaleCompositeTransform(Transform):
 
         return hiddens, total_logabsdet
 
+    def initialize_with_data(self, inputs, context=None):
+        """Thread data-dependent init through the split cascade."""
+        dim = self.split_dim
+        new_transforms = []
+        hiddens = inputs
+        for i, transform in enumerate(self.transforms[:-1]):
+            t_new, transform_outputs = transform.initialize_with_data(hiddens, context)
+            new_transforms.append(t_new)
+            n = transform_outputs.shape[dim]
+            first = (n + 1) // 2
+            hiddens = jnp.take(transform_outputs, np.arange(first, n), axis=dim)
+        t_new, _ = self.transforms[-1].initialize_with_data(hiddens, context)
+        new_transforms.append(t_new)
+        new_self = self.replace(transforms=tuple(new_transforms))
+        outputs, _ = new_self.forward(inputs, context)
+        return new_self, outputs
+
 
 class _MultiscaleBuilder:
     def __init__(self, num_transforms, split_dim):
