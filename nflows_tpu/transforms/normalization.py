@@ -114,7 +114,14 @@ class BatchNorm(Transform):
         )
 
     def initialize_with_data(self, inputs, context=None):
-        new = self.update_running_stats(inputs)
+        """One-shot absorption: set running stats to the batch statistics
+        (momentum-free). The per-step EMA (reference semantics) is
+        :meth:`update_running_stats`; this method is the explicit
+        "statistics pass before eval" and must not be scaled by momentum —
+        stats start at zero, so an EMA step would leave them at
+        ``momentum * stat``."""
+        mean, var = self._batch_stats(inputs)
+        new = self.replace(running_mean=mean, running_var=var)
         outputs, _ = new.forward(inputs, context)
         return new, outputs
 
