@@ -59,17 +59,24 @@ def make_train_step(
     loss_fn: Callable = nll_loss,
     jit: bool = True,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build ``step(state, batch, context=None) -> (new_state, metrics)``.
 
     The state is donated to the compiled program so parameter and optimizer
-    buffers update in place in HBM (no copy per step).
+    buffers update in place in HBM (no copy per step). ``remat=True`` wraps
+    the loss in ``jax.checkpoint`` so the backward pass recomputes
+    activations instead of storing every layer — trades FLOPs for HBM on
+    deep flows.
     """
 
     def step(state: TrainState, batch, context=None):
         def compute_loss(params):
             flow = combine(params, state.rest)
             return loss_fn(flow, batch, context)
+
+        if remat:
+            compute_loss = jax.checkpoint(compute_loss)
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
