@@ -8,3 +8,4 @@ from nflows_tpu.core.module import (
     set_training,
     static,
 )
+from nflows_tpu.core.stochastic import has_stochastic_context, next_rng_key, stochastic

@@ -119,12 +119,14 @@ class Conv2d(Module):
 
 
 class Dropout(Module):
-    """Dropout with explicit key: identity unless a key is passed to __call__.
+    """Dropout active only when a PRNG key is available.
 
     The reference applies torch Dropout inside conditioners
-    (nn/nets/resnet.py:35,48); here randomness must be explicit, so nets
-    thread an optional ``key`` through — None (the default, and the eval
-    path) is a no-op.
+    (nn/nets/resnet.py:35,48) gated by train mode; here randomness is
+    explicit: pass ``key=`` directly, or enter
+    ``nflows_tpu.core.stochastic(key)`` around the traced loss and every
+    dropout site draws its own folded key. No key (the default) = eval =
+    identity.
     """
 
     rate: float = static()
@@ -133,7 +135,12 @@ class Dropout(Module):
         self.rate = float(rate)
 
     def __call__(self, x: jnp.ndarray, key=None) -> jnp.ndarray:
-        if key is None or self.rate == 0.0:
+        if self.rate == 0.0:
+            return x
+        if key is None:
+            from nflows_tpu.core.stochastic import next_rng_key
+            key = next_rng_key()
+        if key is None:
             return x
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(key, keep, x.shape)

@@ -70,9 +70,13 @@ def make_train_step(
     deep flows.
     """
 
-    def step(state: TrainState, batch, context=None):
+    def step(state: TrainState, batch, context=None, key=None):
         def compute_loss(params):
             flow = combine(params, state.rest)
+            if key is not None:
+                from nflows_tpu.core.stochastic import stochastic
+                with stochastic(key):
+                    return loss_fn(flow, batch, context)
             return loss_fn(flow, batch, context)
 
         if remat:
