@@ -4,11 +4,15 @@ Config mirrors the NSF paper's UCI-POWER scale (features=6, hidden=256,
 10 coupling layers, 2 residual blocks, 8 bins, batch 512) — the flagship
 workload of both the reference library and this framework.
 
+Measured as a production TPU training loop: a ``lax.scan`` window of 50
+minibatches per dispatch (training/train.py:make_scan_train_step), bf16 MXU
+matmuls with fp32 accumulation. Per-step wall time is then actual device
+compute, not host/tunnel dispatch latency.
+
 Baseline: the reference implementation (bayesiains/nflows @ /root/reference,
-pure PyTorch) running the *identical* model/config on this host's CPU with
-8 torch threads measured 2026-08-16: 3.66 steps/s (273 ms/step). The
-reference has no GPU/TPU path — torch-CPU is the reference's own shipped
-performance; see BASELINE.md.
+pure PyTorch — its only execution path) running the identical model/config
+on this host's CPU with 8 torch threads, measured 2026-08-16: 3.661 steps/s
+(273 ms/step, 20 steps timed after warmup). See BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,9 +35,11 @@ def main():
     jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     from nflows_tpu.models import NeuralSplineFlow
-    from nflows_tpu.training import create_train_state, make_train_step
+    from nflows_tpu.training import create_train_state
+    from nflows_tpu.training.train import make_scan_train_step
 
     FEATURES, HIDDEN, LAYERS, BLOCKS, BINS, BATCH = 6, 256, 10, 2, 8, 512
+    INNER, OUTER = 50, 8
 
     flow = NeuralSplineFlow(
         features=FEATURES, hidden_features=HIDDEN, num_layers=LAYERS,
@@ -42,24 +48,25 @@ def main():
     )
     optimizer = optax.adam(3e-4)
     state = create_train_state(flow, optimizer)
-    step = make_train_step(optimizer)
+    steps = make_scan_train_step(optimizer)
 
     rng = np.random.default_rng(1)
-    batch = jnp.asarray(rng.normal(size=(BATCH, FEATURES)), dtype=jnp.float32)
+    windows = [
+        jnp.asarray(rng.normal(size=(INNER, BATCH, FEATURES)), dtype=jnp.float32)
+        for _ in range(OUTER + 1)
+    ]
 
-    # warmup: compile + a few steady-state steps
-    for _ in range(5):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # warmup: compile + one full window
+    state, losses = steps(state, windows[-1])
+    jax.block_until_ready(losses)
 
-    N = 200
     t0 = time.perf_counter()
-    for _ in range(N):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    for i in range(OUTER):
+        state, losses = steps(state, windows[i])
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    steps_per_s = N / dt
+    steps_per_s = OUTER * INNER / dt
     print(json.dumps({
         "metric": "rq_nsf_coupling_train_steps_per_s(features=6,hidden=256,layers=10,batch=512)",
         "value": round(steps_per_s, 3),

@@ -94,3 +94,33 @@ def make_train_step(
     if jit:
         step = jax.jit(step, donate_argnums=(0,) if donate else ())
     return step
+
+
+def make_scan_train_step(
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable = nll_loss,
+    donate: bool = True,
+):
+    """Build ``steps(state, batches) -> (new_state, metrics)`` running one
+    ``lax.scan`` over a leading minibatch axis: ``batches`` is
+    [num_steps, batch, ...]. The whole window is ONE compiled program — no
+    per-step host dispatch, the standard TPU train-loop-in-jit pattern.
+    Returns per-step losses [num_steps].
+    """
+
+    def one(state: TrainState, batch):
+        def compute_loss(params):
+            flow = combine(params, state.rest)
+            return loss_fn(flow, batch, None)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        ), loss
+
+    def steps(state: TrainState, batches):
+        return jax.lax.scan(one, state, batches)
+
+    return jax.jit(steps, donate_argnums=(0,) if donate else ())
