@@ -1,0 +1,93 @@
+"""API-surface completeness: every public name the reference exports must
+exist in nflows_tpu (SURVEY.md §2 inventory check)."""
+
+import pytest
+
+
+REFERENCE_TRANSFORMS = [
+    # autoregressive (reference transforms/__init__.py:1-8)
+    "MaskedAffineAutoregressiveTransform",
+    "MaskedPiecewiseCubicAutoregressiveTransform",
+    "MaskedPiecewiseLinearAutoregressiveTransform",
+    "MaskedPiecewiseQuadraticAutoregressiveTransform",
+    "MaskedPiecewiseRationalQuadraticAutoregressiveTransform",
+    "MaskedUMNNAutoregressiveTransform",
+    # base (:9-16)
+    "CompositeTransform", "InputOutsideDomain", "InverseNotAvailable",
+    "InverseTransform", "MultiscaleCompositeTransform", "Transform",
+    # conv/coupling (:17-27)
+    "OneByOneConvolution",
+    "AdditiveCouplingTransform", "AffineCouplingTransform",
+    "PiecewiseCubicCouplingTransform", "PiecewiseLinearCouplingTransform",
+    "PiecewiseQuadraticCouplingTransform",
+    "PiecewiseRationalQuadraticCouplingTransform", "UMNNCouplingTransform",
+    # linear/lu (:28-29)
+    "NaiveLinear", "LULinear",
+    # nonlinearities (:30-43)
+    "CompositeCDFTransform", "Exp", "GatedLinearUnit", "LeakyReLU", "Logit",
+    "LogTanh", "PiecewiseCubicCDF", "PiecewiseLinearCDF",
+    "PiecewiseQuadraticCDF", "PiecewiseRationalQuadraticCDF", "Sigmoid",
+    "Tanh",
+    # normalization/orthogonal/permutations (:44-49)
+    "ActNorm", "BatchNorm", "HouseholderSequence",
+    "Permutation", "RandomPermutation", "ReversePermutation",
+    # qr/reshape/standard/svd (:50-58)
+    "QRLinear", "SqueezeTransform",
+    "AffineScalarTransform", "AffineTransform", "IdentityTransform",
+    "PointwiseAffineTransform", "SVDLinear",
+]
+
+REFERENCE_DISTRIBUTIONS = [
+    "Distribution", "StandardNormal", "ConditionalDiagonalNormal",
+    "DiagonalNormal", "ConditionalIndependentBernoulli", "MADEMoG",
+    "BoxUniform", "MG1Uniform", "LotkaVolterraOscillating",
+]
+
+REFERENCE_FLOWS = ["Flow", "SimpleRealNVP", "MaskedAutoregressiveFlow"]
+
+REFERENCE_NN = ["MADE", "MixtureOfGaussiansMADE"]
+REFERENCE_NETS = ["MLP", "ResidualNet", "ConvResidualNet"]
+
+REFERENCE_UTILS = [
+    "tile", "sum_except_batch", "split_leading_dim", "merge_leading_dims",
+    "repeat_rows", "logabsdet", "random_orthogonal", "searchsorted", "cbrt",
+    "get_temperature", "gaussian_kde_log_eval",
+    "create_alternating_binary_mask", "create_mid_split_binary_mask",
+    "create_random_binary_mask",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_TRANSFORMS)
+def test_transform_exported(name):
+    import nflows_tpu.transforms as T
+    assert hasattr(T, name), f"transforms.{name} missing"
+
+
+@pytest.mark.parametrize("name", REFERENCE_DISTRIBUTIONS)
+def test_distribution_exported(name):
+    import nflows_tpu.distributions as D
+    assert hasattr(D, name), f"distributions.{name} missing"
+
+
+@pytest.mark.parametrize("name", REFERENCE_FLOWS)
+def test_flow_exported(name):
+    import nflows_tpu.flows as F
+    assert hasattr(F, name), f"flows.{name} missing"
+
+
+@pytest.mark.parametrize("name", REFERENCE_NN)
+def test_nn_exported(name):
+    import nflows_tpu.nn as N
+    assert hasattr(N, name), f"nn.{name} missing"
+
+
+@pytest.mark.parametrize("name", REFERENCE_NETS)
+def test_nets_exported(name):
+    import nflows_tpu.nn.nets as N
+    assert hasattr(N, name), f"nn.nets.{name} missing"
+
+
+@pytest.mark.parametrize("name", REFERENCE_UTILS)
+def test_util_exported(name):
+    import nflows_tpu.utils as U
+    assert hasattr(U, name), f"utils.{name} missing"
