@@ -1,0 +1,81 @@
+"""run_training resume + CompiledFlow serving tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nflows_tpu.data import NumpyDataLoader
+from nflows_tpu.flows import MaskedAutoregressiveFlow
+from nflows_tpu.serving import CompiledFlow
+from nflows_tpu.training import create_train_state, make_train_step
+from nflows_tpu.training.loop import run_training
+from nflows_tpu.utils.datasets import make_moons
+
+
+def _setup():
+    flow = MaskedAutoregressiveFlow(features=2, hidden_features=8, num_layers=2,
+                                    num_blocks_per_layer=1, key=jax.random.key(0))
+    opt = optax.adam(1e-3)
+    return flow, opt
+
+
+def test_run_training_and_resume(tmp_path):
+    X, _ = make_moons(512, noise=0.1, rng=np.random.default_rng(0))
+    flow, opt = _setup()
+    state = create_train_state(flow, opt)
+    step = make_train_step(opt, donate=False)
+    ckdir = str(tmp_path / "run")
+
+    loader = NumpyDataLoader(X, batch_size=64, seed=0)
+    state = run_training(state, step, loader,
+                         num_steps=20, checkpoint_dir=ckdir,
+                         checkpoint_every=10, log_every=10,
+                         prepare_batch=jnp.asarray)
+    assert int(state.step) == 20
+
+    # simulate a restart: fresh state, same dir -> resumes from step 20
+    fresh = create_train_state(*_setup())
+    resumed = run_training(fresh, step, NumpyDataLoader(X, 64, seed=1),
+                           num_steps=30, checkpoint_dir=ckdir,
+                           checkpoint_every=10, log_every=10,
+                           prepare_batch=jnp.asarray)
+    assert int(resumed.step) == 30
+
+
+def test_compiled_flow_serving():
+    flow, _ = _setup()
+    served = CompiledFlow(flow, batch_size=16, features=2, num_samples=32)
+
+    x = jax.random.normal(jax.random.key(1), (16, 2))
+    lp = served.log_prob(x)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(flow.log_prob(x)),
+                               atol=1e-5)
+
+    s = served.sample(jax.random.key(2))
+    assert s.shape == (32, 2)
+    s2, lp2 = served.sample_and_log_prob(jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(flow.log_prob(s2)),
+                               atol=1e-3)
+
+    with pytest.raises(ValueError):
+        served.log_prob(jnp.ones((8, 2)))  # shape drift rejected
+
+
+def test_compiled_flow_conditional():
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows import Flow
+    from nflows_tpu.transforms import MaskedAffineAutoregressiveTransform
+
+    t = MaskedAffineAutoregressiveTransform(2, 8, context_features=3,
+                                            key=jax.random.key(0))
+    flow = Flow(t, StandardNormal([2]))
+    served = CompiledFlow(flow, batch_size=16, features=2, num_samples=4,
+                          context_features=3)
+    x = jax.random.normal(jax.random.key(1), (16, 2))
+    c = jax.random.normal(jax.random.key(2), (16, 3))
+    lp = served.log_prob(x, c)
+    assert lp.shape == (16,)
+    s = served.sample(jax.random.key(3), c)
+    assert s.shape == (16, 4, 2)
