@@ -5,6 +5,11 @@ from nflows_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from nflows_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    make_pipelined_transform,
+    stack_transforms,
+)
 from nflows_tpu.parallel.train import (
     apply_tensor_parallelism,
     make_sharded_sampler,

@@ -10,9 +10,12 @@ the slice, with axes
 - ``model`` — tensor parallelism over conditioner hidden dims (flows are
   small; TP matters only for very wide conditioners).
 
-Pipeline parallelism over the transform chain and expert parallelism have
-no useful counterpart at flow scale (layers are cheap, no MoE routing) —
-documented as N/A per SURVEY.md §2.6.
+Pipeline parallelism over the transform chain is provided separately in
+:mod:`nflows_tpu.parallel.pipeline` (GPipe-style microbatch schedule over a
+``stage`` axis with ``ppermute`` over ICI) — useful when per-device
+parameter memory, not batch throughput, is the constraint. Expert
+parallelism has no counterpart (no MoE routing; MADEMoG mixtures are
+per-feature, not routed) — documented as N/A per SURVEY.md §2.6.
 
 Collectives ride ICI: gradient/statistic reductions are ``psum`` over
 ``data`` inside ``shard_map``; XLA inserts all-gathers for TP-sharded
