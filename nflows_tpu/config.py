@@ -10,12 +10,15 @@ import os
 
 _state = {
     # Opt-in: route RQ-spline evaluation through the fused Pallas kernel.
-    # Default False: XLA's own fusion is already near bandwidth-bound for
-    # the training path, and compiling many Pallas kernel instances inside
-    # one big differentiated program is slow through remote-compile setups.
-    # The kernel's sweet spot is sampling/eval (fused inverse, 1.5-2.6x in
-    # isolation) — enable with set_pallas_splines(True) or
-    # NFLOWS_TPU_ENABLE_PALLAS=1.
+    # Default False, from measurement (benchmarks/bench_pallas_rq.py,
+    # TPU v5-lite): the kernel wins only when the spline is a standalone
+    # HBM-bound op on large element counts (3.3x at 4M elements, ~1x at
+    # 256k); inside a full coupling flow XLA instead fuses the spline into
+    # the conditioner's GEMM epilogue, so forcing the Pallas call boundary
+    # materializes [N,K] params + transposes and is a net loss at model
+    # scale. Enable for big standalone elementwise-spline workloads
+    # (learned-CDF transforms over wide features) with
+    # set_pallas_splines(True) or NFLOWS_TPU_ENABLE_PALLAS=1.
     "use_pallas_splines": None,
 }
 

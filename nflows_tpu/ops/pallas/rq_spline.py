@@ -34,7 +34,7 @@ from nflows_tpu.ops.splines import rational_quadratic as rq_ref
 __all__ = ["rq_spline_pallas", "pallas_available"]
 
 _LANES = 128
-_ROWS = 8
+_ROWS = 64
 _TILE = _LANES * _ROWS
 
 
