@@ -20,3 +20,24 @@ from nflows_tpu.utils.shapes import (
     tile,
 )
 from nflows_tpu.utils import typechecks
+from nflows_tpu.utils.typechecks import (
+    is_bool,
+    is_int,
+    is_nonnegative_int,
+    is_positive_int,
+    is_power_of_two,
+)
+
+
+def get_num_parameters(module) -> int:
+    """Total trainable parameter count of a Module / params pytree
+    (reference: nflows/utils/torchutils.py:139-146; the reference exposes
+    this at ``nflows.utils`` via the star-import of torchutils)."""
+    import jax
+
+    from nflows_tpu.core.module import partition
+
+    params, _ = partition(module)
+    return sum(
+        x.size for x in jax.tree_util.tree_leaves(params) if x is not None
+    )

@@ -54,7 +54,21 @@ REFERENCE_UTILS = [
     "get_temperature", "gaussian_kde_log_eval",
     "create_alternating_binary_mask", "create_mid_split_binary_mask",
     "create_random_binary_mask",
+    # reference utils/__init__ star-imports typechecks + torchutils, so
+    # these are reachable as nflows.utils.<name> too
+    "get_num_parameters", "is_bool", "is_int", "is_positive_int",
+    "is_nonnegative_int", "is_power_of_two",
 ]
+
+
+def test_get_num_parameters_counts_trainable():
+    import jax
+    import nflows_tpu.utils as U
+    from nflows_tpu.flows import SimpleRealNVP
+
+    flow = SimpleRealNVP(features=2, hidden_features=8, num_layers=1,
+                         num_blocks_per_layer=1, key=jax.random.key(0))
+    assert U.get_num_parameters(flow) == flow.num_parameters() > 0
 
 
 @pytest.mark.parametrize("name", REFERENCE_TRANSFORMS)
