@@ -1,0 +1,270 @@
+"""Import reference (bayesiains/nflows, PyTorch) weights into nflows_tpu.
+
+``from_torch(ours, ref)`` walks the two models in parallel — our immutable
+Module pytree and the reference's ``torch.nn.Module`` tree — and returns a
+copy of ours carrying the reference's trained parameters and buffers. Build
+``ours`` with the same architecture hyperparameters as ``ref`` (layer
+counts, hidden sizes, masks, bins); shapes are checked at every leaf.
+
+Most of our field names deliberately mirror the reference's attribute names
+(e.g. LULinear.lower_entries, ActNorm.log_scale, MADE.initial_layer), so
+the default rule is: recurse into same-named attributes and copy arrays
+verbatim. The exceptions are encoded explicitly below:
+
+- torch ``nn.Linear`` stores weight ``[out, in]``; our Dense/MaskedDense is
+  ``[in, out]`` → transpose. Conv2d is OIHW in both → verbatim.
+- containers: our tuples vs torch ``ModuleList``; reference uses private
+  names (``Flow._transform``, ``CompositeTransform._transforms``,
+  ``Permutation._permutation``, ``MLP._input_layer`` ...).
+- residual blocks: reference packs the two linears in ``linear_layers`` /
+  ``conv_layers``; ours names them ``linear_0``/``linear_1`` (``conv_*``).
+- static state: ActNorm's ``initialized`` flag is a torch buffer but a
+  static (retrace-triggering) field here.
+
+Typical migration::
+
+    ref = <trained bayesiains/nflows Flow>            # torch
+    ours = SimpleRealNVP(...same hyperparams...)      # nflows_tpu, fresh init
+    ours = from_torch(ours, ref)                      # trained weights
+    log_prob = jax.jit(lambda f, x: f.log_prob(x))(ours, x)
+
+Requires torch only at call time (no import cost otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from nflows_tpu.core.module import Module
+
+__all__ = ["from_torch"]
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def _copy_array(ours, ref_tensor, transpose=False, what=""):
+    arr = _np(ref_tensor)
+    if transpose:
+        arr = np.ascontiguousarray(arr.T)
+    if tuple(arr.shape) != tuple(np.shape(ours)):
+        raise ValueError(
+            f"shape mismatch importing {what}: ours {np.shape(ours)} "
+            f"vs reference {arr.shape} — architectures must match"
+        )
+    return jnp.asarray(arr, dtype=jnp.asarray(ours).dtype)
+
+
+def _import_dense(ours, ref):
+    """torch nn.Linear -> Dense/MaskedDense ([out,in] -> [in,out])."""
+    updates = {"weight": _copy_array(ours.weight, ref.weight, transpose=True,
+                                     what="Linear.weight")}
+    if ours.bias is not None:
+        updates["bias"] = _copy_array(ours.bias, ref.bias, what="Linear.bias")
+    if hasattr(ours, "mask"):  # MaskedDense: degree algebra must agree
+        ref_mask = _np(ref.mask).T
+        if not np.array_equal(np.asarray(ours.mask), ref_mask):
+            raise ValueError("MaskedDense mask differs from reference "
+                             "MaskedLinear mask — check MADE hyperparameters")
+    return ours.replace(**updates)
+
+
+def _import_conv(ours, ref):
+    """torch nn.Conv2d -> Conv2d (both OIHW)."""
+    updates = {"weight": _copy_array(ours.weight, ref.weight, what="Conv2d.weight")}
+    if ours.bias is not None:
+        updates["bias"] = _copy_array(ours.bias, ref.bias, what="Conv2d.bias")
+    return ours.replace(**updates)
+
+
+def _import_residual_block(ours, ref):
+    """reference (Masked)ResidualBlock.linear_layers[i] -> linear_i."""
+    updates = {
+        "linear_0": _import_dense(ours.linear_0, ref.linear_layers[0]),
+        "linear_1": _import_dense(ours.linear_1, ref.linear_layers[1]),
+    }
+    if getattr(ours, "context_layer", None) is not None:
+        updates["context_layer"] = _import_dense(ours.context_layer,
+                                                 ref.context_layer)
+    return ours.replace(**updates)
+
+
+def _import_conv_residual_block(ours, ref):
+    updates = {
+        "conv_0": _import_conv(ours.conv_0, ref.conv_layers[0]),
+        "conv_1": _import_conv(ours.conv_1, ref.conv_layers[1]),
+    }
+    if getattr(ours, "context_layer", None) is not None:
+        updates["context_layer"] = _import_conv(ours.context_layer,
+                                                ref.context_layer)
+    return ours.replace(**updates)
+
+
+def _import_encoder(ours, ref):
+    """Context encoders may be arbitrary torch modules; support the shapes
+    the reference's own code/examples use (Identity, Linear, MLP, or a
+    structurally matching Module)."""
+    import torch
+
+    if isinstance(ref, torch.nn.Identity):
+        return ours
+    if ours is None:
+        raise ValueError(
+            "reference model has a trained context/embedding net but ours "
+            "was built without one — pass the matching net when constructing"
+        )
+    if isinstance(ref, torch.nn.Linear):
+        return _import_dense(ours, ref)
+    if isinstance(ours, Module):
+        return from_torch(ours, ref)
+    raise NotImplementedError(
+        f"cannot import context encoder of torch type {type(ref).__name__}"
+    )
+
+
+def _generic(ours, ref):
+    """Default: recurse into same-named attributes."""
+    updates = {}
+    for f in type(ours)._child_fields:
+        v = getattr(ours, f)
+        if v is None:
+            continue
+        if not hasattr(ref, f):
+            raise NotImplementedError(
+                f"no generic mapping for {type(ours).__name__}.{f} "
+                f"(reference {type(ref).__name__} has no attribute {f!r})"
+            )
+        updates[f] = _child(v, getattr(ref, f), what=f"{type(ours).__name__}.{f}")
+    return ours.replace(**updates)
+
+
+def _child(v, rv, what=""):
+    if isinstance(v, Module):
+        return from_torch(v, rv)
+    if isinstance(v, (tuple, list)):
+        if len(v) != len(rv):
+            raise ValueError(f"{what}: length mismatch {len(v)} vs {len(rv)}")
+        return type(v)(_child(a, b, what=what) for a, b in zip(v, rv))
+    if hasattr(v, "shape"):
+        return _copy_array(v, rv, what=what)
+    return v
+
+
+def from_torch(ours, ref):
+    """Return a copy of ``ours`` (an nflows_tpu Module) with parameters and
+    buffers imported from ``ref`` (the matching reference torch module)."""
+    import torch
+
+    name = type(ours).__name__
+
+    # --- primitives -------------------------------------------------------
+    if name in ("Dense", "MaskedDense"):
+        return _import_dense(ours, ref)
+    if name == "Conv2d":
+        return _import_conv(ours, ref)
+    if name == "Dropout":
+        return ours
+    if name in ("MaskedResidualBlock", "ResidualBlock"):
+        return _import_residual_block(ours, ref)
+    if name == "ConvResidualBlock":
+        return _import_conv_residual_block(ours, ref)
+    if name == "MaskedFeedforwardBlock":
+        return ours.replace(linear=_import_dense(ours.linear, ref.linear))
+    if name == "MLP":
+        return ours.replace(
+            input_layer=_import_dense(ours.input_layer, ref._input_layer),
+            hidden_layers=tuple(
+                _import_dense(o, r)
+                for o, r in zip(ours.hidden_layers, ref._hidden_layers)
+            ),
+            output_layer=_import_dense(ours.output_layer, ref._output_layer),
+        )
+
+    # --- flows & combinators ----------------------------------------------
+    if isinstance(ours, _flows().Flow):
+        updates = {
+            "transform": from_torch(ours.transform, ref._transform),
+            "distribution": from_torch(ours.distribution, ref._distribution),
+        }
+        if not isinstance(ref._embedding_net, torch.nn.Identity):
+            updates["embedding_net"] = _import_encoder(
+                ours.embedding_net, ref._embedding_net)
+        return ours.replace(**updates)
+
+    T = _transforms()
+    if isinstance(ours, (T.CompositeTransform, T.MultiscaleCompositeTransform)):
+        if len(ours.transforms) != len(ref._transforms):
+            raise ValueError("composite transform length mismatch")
+        return ours.replace(transforms=tuple(
+            from_torch(o, r) for o, r in zip(ours.transforms, ref._transforms)
+        ))
+    if isinstance(ours, T.InverseTransform):
+        return ours.replace(transform=from_torch(ours.transform, ref._transform))
+
+    # --- transforms with renamed / recomputed fields ------------------------
+    # (LU/QR/SVD/Householder/1x1-conv all share the reference's field names,
+    # so the generic same-name rule at the bottom covers them.)
+    if isinstance(ours, T.Permutation):
+        return ours.replace(permutation=_copy_array(
+            ours.permutation, ref._permutation, what="Permutation"))
+    if isinstance(ours, T.NaiveLinear):
+        return ours.replace(
+            weight_param=_copy_array(ours.weight_param, ref._weight,
+                                     what="NaiveLinear.weight"),
+            bias=_copy_array(ours.bias, ref.bias, what="Linear.bias"),
+        )
+    if isinstance(ours, T.PointwiseAffineTransform):
+        return ours.replace(
+            shift=_copy_array(ours.shift, ref._shift, what="shift"),
+            scale=_copy_array(ours.scale, ref._scale, what="scale"),
+        )
+    if isinstance(ours, T.ActNorm):
+        new = _generic(ours, ref)
+        return new.replace(initialized=bool(ref.initialized))
+    if isinstance(ours, T.CouplingTransform):
+        updates = {
+            "transform_net": from_torch(ours.transform_net, ref.transform_net),
+            "identity_features": _copy_array(
+                ours.identity_features, ref.identity_features,
+                what="identity_features"),
+            "transform_features": _copy_array(
+                ours.transform_features, ref.transform_features,
+                what="transform_features"),
+        }
+        if ours.unconditional_transform is not None:
+            updates["unconditional_transform"] = from_torch(
+                ours.unconditional_transform, ref.unconditional_transform)
+        new = ours.replace(**updates)
+        inv = np.argsort(np.concatenate([
+            np.asarray(new.identity_features), np.asarray(new.transform_features)
+        ]))
+        return new.replace(inverse_permutation=jnp.asarray(inv, dtype=jnp.int32))
+
+    # --- distributions -------------------------------------------------------
+    D = _distributions()
+    if isinstance(ours, (D.ConditionalDiagonalNormal,
+                         D.ConditionalIndependentBernoulli)):
+        return ours.replace(context_encoder=_import_encoder(
+            ours.context_encoder, ref._context_encoder))
+    if isinstance(ours, D.MADEMoG):
+        return ours.replace(made=from_torch(ours.made, ref._made))
+
+    # --- everything else: same-named attributes ------------------------------
+    return _generic(ours, ref)
+
+
+def _flows():
+    import nflows_tpu.flows as F
+    return F
+
+
+def _transforms():
+    import nflows_tpu.transforms as T
+    return T
+
+
+def _distributions():
+    import nflows_tpu.distributions as D
+    return D
