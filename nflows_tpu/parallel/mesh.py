@@ -5,8 +5,9 @@ is the TPU-native communication layer: a named ``jax.sharding.Mesh`` over
 the slice, with axes
 
 - ``data``  — batch / sample / chain parallelism (the flow analogue of
-  sequence parallelism: there is no sequence axis in a flow, so the axis
-  that scales is the sample axis),
+  sequence parallelism: there is no sequence axis in a flow, so the axes
+  that scale are the sample axis and — for wide elementwise spline stacks —
+  the feature axis, see :mod:`nflows_tpu.parallel.elementwise`),
 - ``model`` — tensor parallelism over conditioner hidden dims (flows are
   small; TP matters only for very wide conditioners).
 
