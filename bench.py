@@ -4,10 +4,13 @@ Config mirrors the NSF paper's UCI-POWER scale (features=6, hidden=256,
 10 coupling layers, 2 residual blocks, 8 bins, batch 512) — the flagship
 workload of both the reference library and this framework.
 
-Measured as a production TPU training loop: a ``lax.scan`` window of 50
+Measured as a production TPU training loop: ``lax.scan`` windows of 1000
 minibatches per dispatch (training/train.py:make_scan_train_step), bf16 MXU
-matmuls with fp32 accumulation. Per-step wall time is then actual device
-compute, not host/tunnel dispatch latency.
+matmuls with fp32 accumulation. Timing spans dispatch -> scalar fetch of the
+final loss (which data-depends on every step): on this image's remote TPU
+backend, ``block_until_ready`` alone can return before execution completes
+(see benchmarks/_timing.py), so only a value fetch is a sound fence. The
+~50 ms fetch round-trip is amortized to <2% by the 4000-step chain.
 
 Baseline: the reference implementation (bayesiains/nflows @ /root/reference,
 pure PyTorch — its only execution path) running the identical model/config
@@ -39,7 +42,7 @@ def main():
     from nflows_tpu.training.train import make_scan_train_step
 
     FEATURES, HIDDEN, LAYERS, BLOCKS, BINS, BATCH = 6, 256, 10, 2, 8, 512
-    INNER, OUTER = 50, 8
+    INNER, OUTER = 1000, 4
 
     flow = NeuralSplineFlow(
         features=FEATURES, hidden_features=HIDDEN, num_layers=LAYERS,
@@ -56,14 +59,16 @@ def main():
         for _ in range(OUTER + 1)
     ]
 
-    # warmup: compile + one full window
+    # warmup: compile + one full window, drained via value fetch
     state, losses = steps(state, windows[-1])
-    jax.block_until_ready(losses)
+    float(losses[-1])
 
     t0 = time.perf_counter()
     for i in range(OUTER):
         state, losses = steps(state, windows[i])
-    jax.block_until_ready(losses)
+    # the final loss data-depends on all OUTER*INNER steps; fetching its
+    # value is the only sound execution fence on this backend
+    float(losses[-1])
     dt = time.perf_counter() - t0
 
     steps_per_s = OUTER * INNER / dt

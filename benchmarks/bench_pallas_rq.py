@@ -26,38 +26,65 @@ from nflows_tpu.ops.splines import unconstrained_rational_quadratic_spline
 K = 8
 
 
-def timeit(fn, *args, reps=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+def timeit(fn, args_list, reps=3):
+    """min over reps of dispatch -> element fetch (benchmarks/_timing.py:
+    block_until_ready is not a sound fence on this backend). args_list must
+    provide distinct inputs per rep."""
+    out = fn(*args_list[0])
+    float(jnp.ravel(out[0])[-1])  # compile + drain
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args_list[i % len(args_list)])
+        float(jnp.ravel(out[0])[-1])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def kernel_bench():
+    """Per-application kernel time via the slope method: time a jitted chain
+    of ITERS dependent applications (output feeds the next input) and a
+    1-application chain, and divide the difference — this cancels the fixed
+    ~30 ms dispatch/fetch round-trip of the remote backend exactly."""
     results = []
-    for n in (1 << 14, 1 << 18, 1 << 22):
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(scale=2.0, size=(n,)), dtype=jnp.float32)
-        w = jnp.asarray(rng.normal(size=(n, K)), dtype=jnp.float32)
-        h = jnp.asarray(rng.normal(size=(n, K)), dtype=jnp.float32)
-        d = jnp.asarray(rng.normal(size=(n, K - 1)), dtype=jnp.float32)
+    for n, ITERS in ((1 << 14, 2001), (1 << 18, 301), (1 << 22, 17)):
+        def inputs(seed):
+            rng = np.random.default_rng(seed)
+            return (
+                jnp.asarray(rng.normal(scale=2.0, size=(n,)), dtype=jnp.float32),
+                jnp.asarray(rng.normal(size=(n, K)), dtype=jnp.float32),
+                jnp.asarray(rng.normal(size=(n, K)), dtype=jnp.float32),
+                jnp.asarray(rng.normal(size=(n, K - 1)), dtype=jnp.float32),
+            )
+        args_list = [inputs(i) for i in range(3)]
+        x, w, h, d = args_list[0]
 
         for inverse in (False, True):
-            xla_fn = jax.jit(lambda x, w, h, d, inv=inverse:
-                             unconstrained_rational_quadratic_spline(
-                                 x, w, h, d, inverse=inv, tails="linear",
-                                 tail_bound=3.0))
-            pal_fn = jax.jit(lambda x, w, h, d, inv=inverse:
-                             rq_spline_pallas(x, w, h, d, inverse=inv,
-                                              tail_bound=3.0))
-            t_xla = timeit(xla_fn, x, w, h, d)
-            t_pal = timeit(pal_fn, x, w, h, d)
-            # correctness spot check
-            y0, l0 = xla_fn(x, w, h, d)
-            y1, l1 = pal_fn(x, w, h, d)
+            def make_chain(core, iters):
+                def chained(x, w, h, d):
+                    def body(_, carry):
+                        y, acc = carry
+                        y2, lad = core(y, w, h, d)
+                        return y2, acc + lad
+                    return jax.lax.fori_loop(
+                        0, iters, body, (x, jnp.zeros_like(x)))
+                return jax.jit(chained)
+
+            xla_core = lambda x, w, h, d, inv=inverse: (
+                unconstrained_rational_quadratic_spline(
+                    x, w, h, d, inverse=inv, tails="linear", tail_bound=3.0))
+            pal_core = lambda x, w, h, d, inv=inverse: (
+                rq_spline_pallas(x, w, h, d, inverse=inv, tail_bound=3.0))
+
+            def per_iter(core):
+                t1 = timeit(make_chain(core, 1), args_list)
+                tk = timeit(make_chain(core, ITERS), args_list)
+                return (tk - t1) / (ITERS - 1)
+
+            t_xla = per_iter(xla_core)
+            t_pal = per_iter(pal_core)
+            y0, l0 = jax.jit(xla_core)(x, w, h, d)
+            y1, l1 = jax.jit(pal_core)(x, w, h, d)
             err = float(jnp.max(jnp.abs(y0 - y1)))
             results.append({
                 "n": n, "inverse": inverse,
@@ -77,12 +104,13 @@ def sampling_bench():
         num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
         key=jax.random.key(0), rng=np.random.default_rng(0),
     )
-    n = 1 << 16
+    n = 1 << 18
     out = {}
     for use_pallas in (False, True):
         config.set_pallas_splines(use_pallas)
         fn = jax.jit(lambda f, k: f._sample(k, n, None))
-        t = timeit(fn, flow, jax.random.key(1), reps=20)
+        keys = [(flow, jax.random.key(i)) for i in range(3)]
+        t = timeit(fn, keys)
         out["pallas" if use_pallas else "xla"] = round(n / t / 1e6, 2)
     config.set_pallas_splines(False)
     out["speedup"] = round(out["pallas"] / out["xla"], 2)

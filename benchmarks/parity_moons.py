@@ -55,11 +55,12 @@ def run_ours(Xtr, Xte, steps, hidden, batch):
     rng = np.random.default_rng(1)
     idx_all = rng.integers(0, len(Xtr), size=(steps, batch))
 
-    state, _ = step(state, data[jnp.asarray(idx_all[0])])  # compile
+    state, m = step(state, data[jnp.asarray(idx_all[0])])  # compile
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, data[jnp.asarray(idx_all[i])])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value fetch: sound execution fence (benchmarks/_timing.py)
     dt = time.perf_counter() - t0
 
     test_nll = float(-state.flow.log_prob(jnp.asarray(Xte)).mean())

@@ -1,14 +1,19 @@
-"""Sampling / image-flow throughput: nflows_tpu (TPU) vs reference (CPU).
+"""Sampling / inference / image-flow throughput: nflows_tpu (TPU) vs reference (CPU).
 
-Covers the two remaining hot paths not measured elsewhere:
+Covers the hot paths not measured by bench.py:
 
 1. MAF ancestral sampling — the D-sequential-pass autoregressive inverse
    (reference nflows/transforms/autoregressive.py:43-52 runs D Python-level
    MADE passes; ours is one XLA fori_loop of fused passes).
-2. Glow-style multiscale image flow (squeeze + actnorm + 1x1 conv + conv
+2. NSF coupling-flow inference: `sample` (coupling inverse) and `log_prob`.
+3. Glow-style multiscale image flow (squeeze + actnorm + 1x1 conv + conv
    coupling): log_prob (training direction) and sampling, NCHW 3x32x32.
    The reference ships the parts but no assembled model; we assemble the
    identical architecture from its own components.
+
+Timing protocol: dispatch -> element fetch per rep (benchmarks/_timing.py —
+block_until_ready is not a sound fence on this remote backend), fresh PRNG
+keys per rep, large batches so the ~50 ms fetch round-trip is amortized.
 
 Usage: python benchmarks/sampling_throughput.py
 """
@@ -37,29 +42,36 @@ def _ref_setup():
     return torch
 
 
+def _rate(dispatches, fetch, items, reps=3):
+    """items/s: min over reps of dispatch->fetch wall time."""
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = dispatches(i)
+        fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return items / best
+
+
 FEATURES, HIDDEN, LAYERS = 10, 256, 5
-N_SAMPLES = 4096
+N_AR = 1 << 18        # MAF sampling batch
+N_NSF = 1 << 20       # NSF inference batch
 IMG = (3, 32, 32)
-IMG_BATCH = 64
+IMG_BATCH = 512
 
 
 def maf_ours():
     import jax
-    import jax.numpy as jnp
     from nflows_tpu.flows import MaskedAutoregressiveFlow
 
     flow = MaskedAutoregressiveFlow(
         features=FEATURES, hidden_features=HIDDEN, num_layers=LAYERS,
         num_blocks_per_layer=2, key=jax.random.key(0),
     )
-    fn = jax.jit(lambda f, k: f._sample(k, N_SAMPLES, None))
-    out = fn(flow, jax.random.key(1))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(10):
-        out = fn(flow, jax.random.key(i))
-    jax.block_until_ready(out)
-    return 10 * N_SAMPLES / (time.perf_counter() - t0)
+    fn = jax.jit(lambda f, k: f._sample(k, N_AR, None))
+    float(fn(flow, jax.random.key(99))[0, 0])  # compile
+    return _rate(lambda i: fn(flow, jax.random.key(i)),
+                 lambda out: float(out[-1, -1]), N_AR)
 
 
 def maf_reference():
@@ -70,12 +82,73 @@ def maf_reference():
         features=FEATURES, hidden_features=HIDDEN, num_layers=LAYERS,
         num_blocks_per_layer=2,
     )
+    n = 4096  # CPU: keep the timed call tractable (~2 s)
     flow.eval()
     with torch.no_grad():
         flow.sample(256)  # warmup
         t0 = time.perf_counter()
-        flow.sample(N_SAMPLES)
-        return N_SAMPLES / (time.perf_counter() - t0)
+        flow.sample(n)
+        return n / (time.perf_counter() - t0)
+
+
+def nsf_ours():
+    import jax
+    import jax.numpy as jnp
+    from nflows_tpu.models import NeuralSplineFlow
+
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=256, num_layers=10,
+        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0),
+    )
+    s_fn = jax.jit(lambda f, k: f._sample(k, N_NSF, None))
+    float(s_fn(flow, jax.random.key(99))[0, 0])
+    sample_rate = _rate(lambda i: s_fn(flow, jax.random.key(i)),
+                        lambda out: float(out[-1, -1]), N_NSF)
+
+    lp_fn = jax.jit(lambda f, x: f.log_prob(x))
+    xs = [jnp.asarray(np.random.default_rng(i).normal(size=(N_NSF, 6)),
+                      dtype=jnp.float32) for i in range(3)]
+    float(lp_fn(flow, xs[0])[-1])
+    lp_rate = _rate(lambda i: lp_fn(flow, xs[i]),
+                    lambda out: float(out[-1]), N_NSF)
+    return sample_rate, lp_rate
+
+
+def nsf_reference():
+    torch = _ref_setup()
+    import benchmarks.uci_nsf_throughput as uci
+
+    # reuse the identical reference model builder
+    from nflows import transforms
+    from nflows.distributions import StandardNormal
+    from nflows.flows import Flow
+    from nflows.nn import nets
+
+    def create_net(in_f, out_f):
+        return nets.ResidualNet(in_f, out_f, hidden_features=256, num_blocks=2)
+
+    layers = []
+    for i in range(10):
+        layers.append(transforms.RandomPermutation(features=6))
+        mask = ((np.arange(6) + i) % 2 * 2 - 1).tolist()
+        layers.append(transforms.PiecewiseRationalQuadraticCouplingTransform(
+            mask=mask, transform_net_create_fn=create_net,
+            num_bins=8, tails="linear", tail_bound=3.0))
+    flow = Flow(transforms.CompositeTransform(layers), StandardNormal([6]))
+    flow.eval()
+    n = 8192
+    with torch.no_grad():
+        flow.sample(256)
+        t0 = time.perf_counter()
+        flow.sample(n)
+        s_rate = n / (time.perf_counter() - t0)
+        x = torch.randn(n, 6)
+        flow.log_prob(x[:256])
+        t0 = time.perf_counter()
+        flow.log_prob(x)
+        lp_rate = n / (time.perf_counter() - t0)
+    return s_rate, lp_rate
 
 
 def _glow_config():
@@ -91,26 +164,21 @@ def glow_ours():
     cfg = _glow_config()
     flow = GlowFlow(IMG, key=jax.random.key(0), rng=np.random.default_rng(0),
                     **cfg)
-    x = jnp.asarray(np.random.default_rng(1).normal(size=(IMG_BATCH, *IMG)),
-                    dtype=jnp.float32)
-    flow = flow.initialize_actnorms(x)
+    x0 = jnp.asarray(np.random.default_rng(1).normal(size=(IMG_BATCH, *IMG)),
+                     dtype=jnp.float32)
+    flow = flow.initialize_actnorms(x0)
 
     lp_fn = jax.jit(lambda f, x: f.log_prob(x))
+    xs = [jnp.asarray(np.random.default_rng(i).normal(size=(IMG_BATCH, *IMG)),
+                      dtype=jnp.float32) for i in range(3)]
+    float(lp_fn(flow, xs[0])[-1])
+    lp_ips = _rate(lambda i: lp_fn(flow, xs[i]),
+                   lambda out: float(out[-1]), IMG_BATCH)
+
     s_fn = jax.jit(lambda f, k: f._sample(k, IMG_BATCH, None))
-
-    out = lp_fn(flow, x); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = lp_fn(flow, x)
-    jax.block_until_ready(out)
-    lp_ips = 20 * IMG_BATCH / (time.perf_counter() - t0)
-
-    out = s_fn(flow, jax.random.key(1)); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(20):
-        out = s_fn(flow, jax.random.key(i))
-    jax.block_until_ready(out)
-    s_ips = 20 * IMG_BATCH / (time.perf_counter() - t0)
+    float(s_fn(flow, jax.random.key(99)).reshape(-1)[-1])
+    s_ips = _rate(lambda i: s_fn(flow, jax.random.key(i)),
+                  lambda out: float(out.reshape(-1)[-1]), IMG_BATCH)
     return lp_ips, s_ips
 
 
@@ -141,42 +209,54 @@ def glow_reference():
         next_shape = mct.add_transform(
             transforms.CompositeTransform(layers), (sc, sh, sw))
         shape = next_shape
-    total = c * h * w
-    flow = Flow(mct, StandardNormal([total]))
+    flow = Flow(mct, StandardNormal([c * h * w]))
 
-    x = torch.randn(IMG_BATCH, *IMG)
+    n = 64
+    x = torch.randn(n, *IMG)
     flow.eval()
     with torch.no_grad():
-        flow.log_prob(x)  # warmup + actnorm init happens in train mode; ok for timing
+        flow.log_prob(x[:8])
         t0 = time.perf_counter()
-        for _ in range(3):
-            flow.log_prob(x)
-        lp_ips = 3 * IMG_BATCH / (time.perf_counter() - t0)
+        flow.log_prob(x)
+        lp_ips = n / (time.perf_counter() - t0)
         flow.sample(8)
         t0 = time.perf_counter()
-        flow.sample(IMG_BATCH)
-        s_ips = IMG_BATCH / (time.perf_counter() - t0)
+        flow.sample(n)
+        s_ips = n / (time.perf_counter() - t0)
     return lp_ips, s_ips
 
 
 def main():
     ours_maf = maf_ours()
+    ours_nsf_s, ours_nsf_lp = nsf_ours()
+    ours_glow_lp, ours_glow_s = glow_ours()
     ref_maf = maf_reference()
-    ours_lp, ours_s = glow_ours()
-    ref_lp, ref_s = glow_reference()
+    ref_nsf_s, ref_nsf_lp = nsf_reference()
+    ref_glow_lp, ref_glow_s = glow_reference()
     print(json.dumps({
-        "maf_sampling_samples_per_s": {
-            "config": f"MAF {LAYERS}x{HIDDEN}, d={FEATURES}, {N_SAMPLES} samples",
+        "maf_ar_sampling_samples_per_s": {
+            "config": f"MAF {LAYERS}x{HIDDEN}, d={FEATURES}",
             "nflows_tpu": round(ours_maf),
             "reference": round(ref_maf),
             "speedup": round(ours_maf / ref_maf, 1),
         },
+        "nsf_inference_per_s": {
+            "config": "RQ-NSF coupling 10x256, d=6 (bench.py config)",
+            "sample": {"nflows_tpu": round(ours_nsf_s),
+                       "reference": round(ref_nsf_s),
+                       "speedup": round(ours_nsf_s / ref_nsf_s, 1)},
+            "log_prob": {"nflows_tpu": round(ours_nsf_lp),
+                         "reference": round(ref_nsf_lp),
+                         "speedup": round(ours_nsf_lp / ref_nsf_lp, 1)},
+        },
         "glow_3x32x32_images_per_s": {
             "config": "2 levels x 4 steps, hidden 64, affine conv coupling",
-            "log_prob": {"nflows_tpu": round(ours_lp), "reference": round(ref_lp, 1),
-                         "speedup": round(ours_lp / ref_lp, 1)},
-            "sample": {"nflows_tpu": round(ours_s), "reference": round(ref_s, 1),
-                       "speedup": round(ours_s / ref_s, 1)},
+            "log_prob": {"nflows_tpu": round(ours_glow_lp),
+                         "reference": round(ref_glow_lp, 1),
+                         "speedup": round(ours_glow_lp / ref_glow_lp, 1)},
+            "sample": {"nflows_tpu": round(ours_glow_s),
+                       "reference": round(ref_glow_s, 1),
+                       "speedup": round(ours_glow_s / ref_glow_s, 1)},
         },
     }, indent=2))
 

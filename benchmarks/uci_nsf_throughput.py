@@ -10,9 +10,9 @@ egress), so data is synthetic standard-normal — throughput depends only on
 shapes. NLL parity is covered separately: weight-transplant parity tests
 (tests/parity/) + measured moons convergence (benchmarks/parity_moons.py).
 
-Ours is measured as the production scan-fused train loop (50 steps per
-dispatch → pure device time); the reference is its only execution path
-(eager torch, CPU, 8 threads).
+Ours is measured as the production scan-fused train loop (500-step scan
+windows, dispatch→value-fetch timing per benchmarks/_timing.py); the
+reference is its only execution path (eager torch, CPU, 8 threads).
 
 Usage: python benchmarks/uci_nsf_throughput.py [--skip-reference]
 """
@@ -50,16 +50,16 @@ def run_ours(features):
     state = create_train_state(flow, opt)
     steps = make_scan_train_step(opt)
 
-    INNER, OUTER = 50, 4
+    INNER, OUTER = 500, 4
     rng = np.random.default_rng(1)
     windows = [jnp.asarray(rng.normal(size=(INNER, BATCH, features)),
                            dtype=jnp.float32) for _ in range(OUTER + 1)]
     state, losses = steps(state, windows[-1])
-    jax.block_until_ready(losses)
+    float(losses[-1])  # value fetch = the only sound fence (benchmarks/_timing.py)
     t0 = time.perf_counter()
     for i in range(OUTER):
         state, losses = steps(state, windows[i])
-    jax.block_until_ready(losses)
+    float(losses[-1])
     return OUTER * INNER / (time.perf_counter() - t0)
 
 

@@ -11,13 +11,13 @@ import os
 _state = {
     # Opt-in: route RQ-spline evaluation through the fused Pallas kernel.
     # Default False, from measurement (benchmarks/bench_pallas_rq.py,
-    # TPU v5-lite): the kernel wins only when the spline is a standalone
-    # HBM-bound op on large element counts (3.3x at 4M elements, ~1x at
-    # 256k); inside a full coupling flow XLA instead fuses the spline into
-    # the conditioner's GEMM epilogue, so forcing the Pallas call boundary
-    # materializes [N,K] params + transposes and is a net loss at model
-    # scale. Enable for big standalone elementwise-spline workloads
-    # (learned-CDF transforms over wide features) with
+    # TPU v5-lite): as a STANDALONE op the fused kernel beats XLA ~3x at
+    # every size (3.2-3.7x, 16k-4M elements), but inside a full coupling
+    # flow XLA instead fuses the spline into the conditioner's GEMM
+    # epilogue, so forcing the Pallas call boundary (materialize [N,K]
+    # params + transpose, lose cross-op fusion) is a net loss end-to-end
+    # (~0.4x on NSF sampling). Enable for standalone elementwise-spline
+    # workloads (learned-CDF stacks with no adjacent GEMM) with
     # set_pallas_splines(True) or NFLOWS_TPU_ENABLE_PALLAS=1.
     "use_pallas_splines": None,
 }
