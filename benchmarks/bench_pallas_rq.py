@@ -26,19 +26,16 @@ from nflows_tpu.ops.splines import unconstrained_rational_quadratic_spline
 K = 8
 
 
-def timeit(fn, args_list, reps=3):
-    """min over reps of dispatch -> element fetch (benchmarks/_timing.py:
-    block_until_ready is not a sound fence on this backend). args_list must
-    provide distinct inputs per rep."""
-    out = fn(*args_list[0])
-    float(jnp.ravel(out[0])[-1])  # compile + drain
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args_list[i % len(args_list)])
-        float(jnp.ravel(out[0])[-1])
-        best = min(best, time.perf_counter() - t0)
-    return best
+from benchmarks._timing import timeit_calls
+
+
+def _fetch(out):
+    float(jnp.ravel(out[0])[-1])
+
+
+def timeit(fn, args_list):
+    """dispatch -> element-fetch timing on fresh inputs (benchmarks/_timing.py)."""
+    return timeit_calls(fn, args_list, _fetch)
 
 
 def kernel_bench():
@@ -56,7 +53,7 @@ def kernel_bench():
                 jnp.asarray(rng.normal(size=(n, K)), dtype=jnp.float32),
                 jnp.asarray(rng.normal(size=(n, K - 1)), dtype=jnp.float32),
             )
-        args_list = [inputs(i) for i in range(3)]
+        args_list = [inputs(i) for i in range(4)]  # last = warmup
         x, w, h, d = args_list[0]
 
         for inverse in (False, True):
@@ -109,7 +106,7 @@ def sampling_bench():
     for use_pallas in (False, True):
         config.set_pallas_splines(use_pallas)
         fn = jax.jit(lambda f, k: f._sample(k, n, None))
-        keys = [(flow, jax.random.key(i)) for i in range(3)]
+        keys = [(flow, jax.random.key(i)) for i in range(4)]  # last = warmup
         t = timeit(fn, keys)
         out["pallas" if use_pallas else "xla"] = round(n / t / 1e6, 2)
     config.set_pallas_splines(False)

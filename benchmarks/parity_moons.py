@@ -55,8 +55,11 @@ def run_ours(Xtr, Xte, steps, hidden, batch):
     rng = np.random.default_rng(1)
     idx_all = rng.integers(0, len(Xtr), size=(steps, batch))
 
-    state, m = step(state, data[jnp.asarray(idx_all[0])])  # compile
+    # compile + drain on a throwaway state so both libraries run exactly
+    # `steps` updates from the same initialization
+    warm_state, m = step(create_train_state(flow, opt), data[jnp.asarray(idx_all[0])])
     float(m["loss"])
+    del warm_state
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, data[jnp.asarray(idx_all[i])])

@@ -42,15 +42,14 @@ def _ref_setup():
     return torch
 
 
+from benchmarks._timing import timeit_calls
+
+
 def _rate(dispatches, fetch, items, reps=3):
-    """items/s: min over reps of dispatch->fetch wall time."""
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = dispatches(i)
-        fetch(out)
-        best = min(best, time.perf_counter() - t0)
-    return items / best
+    """items/s; index ``reps`` is the warmup call, 0..reps-1 are timed
+    (all with fresh inputs — see benchmarks/_timing.py)."""
+    args_list = [(i,) for i in range(reps)] + [(reps,)]
+    return items / timeit_calls(dispatches, args_list, fetch)
 
 
 FEATURES, HIDDEN, LAYERS = 10, 256, 5
@@ -69,7 +68,6 @@ def maf_ours():
         num_blocks_per_layer=2, key=jax.random.key(0),
     )
     fn = jax.jit(lambda f, k: f._sample(k, N_AR, None))
-    float(fn(flow, jax.random.key(99))[0, 0])  # compile
     return _rate(lambda i: fn(flow, jax.random.key(i)),
                  lambda out: float(out[-1, -1]), N_AR)
 
@@ -102,14 +100,12 @@ def nsf_ours():
         key=jax.random.key(0), rng=np.random.default_rng(0),
     )
     s_fn = jax.jit(lambda f, k: f._sample(k, N_NSF, None))
-    float(s_fn(flow, jax.random.key(99))[0, 0])
     sample_rate = _rate(lambda i: s_fn(flow, jax.random.key(i)),
                         lambda out: float(out[-1, -1]), N_NSF)
 
     lp_fn = jax.jit(lambda f, x: f.log_prob(x))
     xs = [jnp.asarray(np.random.default_rng(i).normal(size=(N_NSF, 6)),
-                      dtype=jnp.float32) for i in range(3)]
-    float(lp_fn(flow, xs[0])[-1])
+                      dtype=jnp.float32) for i in range(4)]
     lp_rate = _rate(lambda i: lp_fn(flow, xs[i]),
                     lambda out: float(out[-1]), N_NSF)
     return sample_rate, lp_rate
@@ -117,25 +113,9 @@ def nsf_ours():
 
 def nsf_reference():
     torch = _ref_setup()
-    import benchmarks.uci_nsf_throughput as uci
+    from benchmarks.uci_nsf_throughput import build_reference_nsf
 
-    # reuse the identical reference model builder
-    from nflows import transforms
-    from nflows.distributions import StandardNormal
-    from nflows.flows import Flow
-    from nflows.nn import nets
-
-    def create_net(in_f, out_f):
-        return nets.ResidualNet(in_f, out_f, hidden_features=256, num_blocks=2)
-
-    layers = []
-    for i in range(10):
-        layers.append(transforms.RandomPermutation(features=6))
-        mask = ((np.arange(6) + i) % 2 * 2 - 1).tolist()
-        layers.append(transforms.PiecewiseRationalQuadraticCouplingTransform(
-            mask=mask, transform_net_create_fn=create_net,
-            num_bins=8, tails="linear", tail_bound=3.0))
-    flow = Flow(transforms.CompositeTransform(layers), StandardNormal([6]))
+    flow = build_reference_nsf(features=6)
     flow.eval()
     n = 8192
     with torch.no_grad():
@@ -170,13 +150,11 @@ def glow_ours():
 
     lp_fn = jax.jit(lambda f, x: f.log_prob(x))
     xs = [jnp.asarray(np.random.default_rng(i).normal(size=(IMG_BATCH, *IMG)),
-                      dtype=jnp.float32) for i in range(3)]
-    float(lp_fn(flow, xs[0])[-1])
+                      dtype=jnp.float32) for i in range(4)]
     lp_ips = _rate(lambda i: lp_fn(flow, xs[i]),
                    lambda out: float(out[-1]), IMG_BATCH)
 
     s_fn = jax.jit(lambda f, k: f._sample(k, IMG_BATCH, None))
-    float(s_fn(flow, jax.random.key(99)).reshape(-1)[-1])
     s_ips = _rate(lambda i: s_fn(flow, jax.random.key(i)),
                   lambda out: float(out.reshape(-1)[-1]), IMG_BATCH)
     return lp_ips, s_ips

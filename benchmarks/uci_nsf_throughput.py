@@ -63,7 +63,10 @@ def run_ours(features):
     return OUTER * INNER / (time.perf_counter() - t0)
 
 
-def run_reference(features, steps=12):
+def build_reference_nsf(features):
+    """The flagship RQ-NSF coupling architecture, built from the reference's
+    own components (shared with benchmarks/sampling_throughput.py so the
+    two benchmarks can never diverge)."""
     import torch
 
     if "/root/reference" not in sys.path:
@@ -93,7 +96,13 @@ def run_reference(features, steps=12):
         layers.append(transforms.PiecewiseRationalQuadraticCouplingTransform(
             mask=mask, transform_net_create_fn=create_net,
             num_bins=BINS, tails="linear", tail_bound=3.0))
-    flow = Flow(transforms.CompositeTransform(layers), StandardNormal([features]))
+    return Flow(transforms.CompositeTransform(layers), StandardNormal([features]))
+
+
+def run_reference(features, steps=12):
+    import torch
+
+    flow = build_reference_nsf(features)
     opt = torch.optim.Adam(flow.parameters(), lr=3e-4)
     x = torch.randn(BATCH, features)
 

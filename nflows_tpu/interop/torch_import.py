@@ -61,6 +61,12 @@ def _import_dense(ours, ref):
     """torch nn.Linear -> Dense/MaskedDense ([out,in] -> [in,out])."""
     updates = {"weight": _copy_array(ours.weight, ref.weight, transpose=True,
                                      what="Linear.weight")}
+    if (ours.bias is None) != (getattr(ref, "bias", None) is None):
+        raise ValueError(
+            "bias presence mismatch importing Linear: "
+            f"ours {'has' if ours.bias is not None else 'lacks'} a bias, "
+            f"reference {'has' if getattr(ref, 'bias', None) is not None else 'lacks'} one"
+        )
     if ours.bias is not None:
         updates["bias"] = _copy_array(ours.bias, ref.bias, what="Linear.bias")
     if hasattr(ours, "mask"):  # MaskedDense: degree algebra must agree
@@ -79,6 +85,33 @@ def _import_conv(ours, ref):
     return ours.replace(**updates)
 
 
+def _import_batch_norms(updates, ours, ref):
+    """Residual-block batch norm: reference nn.BatchNorm1d/2d weight/bias ->
+    _BatchScale scale/offset (+ eps). Note the semantic caveat: our blocks
+    always normalize with batch statistics (stateless conditioners), so an
+    imported use_batch_norm model matches the reference's *train-mode*
+    behavior, not its eval-mode running-stats behavior."""
+    has_ours = getattr(ours, "batch_norm_0", None) is not None
+    has_ref = getattr(ref, "batch_norm_layers", None) is not None
+    if has_ours != has_ref:
+        raise ValueError(
+            "use_batch_norm mismatch importing residual block: "
+            f"ours={has_ours}, reference={has_ref}"
+        )
+    if has_ours:
+        for i in (0, 1):
+            bn_ours = getattr(ours, f"batch_norm_{i}")
+            bn_ref = ref.batch_norm_layers[i]
+            updates[f"batch_norm_{i}"] = bn_ours.replace(
+                scale=_copy_array(bn_ours.scale, bn_ref.weight,
+                                  what="BatchNorm.weight"),
+                offset=_copy_array(bn_ours.offset, bn_ref.bias,
+                                   what="BatchNorm.bias"),
+                eps=float(bn_ref.eps),
+            )
+    return updates
+
+
 def _import_residual_block(ours, ref):
     """reference (Masked)ResidualBlock.linear_layers[i] -> linear_i."""
     updates = {
@@ -88,7 +121,7 @@ def _import_residual_block(ours, ref):
     if getattr(ours, "context_layer", None) is not None:
         updates["context_layer"] = _import_dense(ours.context_layer,
                                                  ref.context_layer)
-    return ours.replace(**updates)
+    return ours.replace(**_import_batch_norms(updates, ours, ref))
 
 
 def _import_conv_residual_block(ours, ref):
@@ -99,7 +132,7 @@ def _import_conv_residual_block(ours, ref):
     if getattr(ours, "context_layer", None) is not None:
         updates["context_layer"] = _import_conv(ours.context_layer,
                                                 ref.context_layer)
-    return ours.replace(**updates)
+    return ours.replace(**_import_batch_norms(updates, ours, ref))
 
 
 def _import_encoder(ours, ref):
@@ -108,7 +141,22 @@ def _import_encoder(ours, ref):
     structurally matching Module)."""
     import torch
 
+    if not isinstance(ref, torch.nn.Module):
+        # reference uses a plain `lambda x: x` when no encoder was given
+        # (distributions/normal.py:67) — nothing to import
+        if isinstance(ours, Module):
+            raise ValueError(
+                "reference context encoder is a bare identity but ours is a "
+                f"trainable {type(ours).__name__}"
+            )
+        return ours
     if isinstance(ref, torch.nn.Identity):
+        if isinstance(ours, Module):
+            raise ValueError(
+                "reference context/embedding net is Identity but ours is a "
+                f"trainable {type(ours).__name__} — its random weights would "
+                "silently survive the import; construct ours without one"
+            )
         return ours
     if ours is None:
         raise ValueError(
@@ -173,6 +221,12 @@ def from_torch(ours, ref):
     if name == "MaskedFeedforwardBlock":
         return ours.replace(linear=_import_dense(ours.linear, ref.linear))
     if name == "MLP":
+        if len(ours.hidden_layers) != len(ref._hidden_layers):
+            raise ValueError(
+                f"MLP hidden-layer count mismatch: ours "
+                f"{len(ours.hidden_layers)} vs reference "
+                f"{len(ref._hidden_layers)}"
+            )
         return ours.replace(
             input_layer=_import_dense(ours.input_layer, ref._input_layer),
             hidden_layers=tuple(
