@@ -6,7 +6,7 @@ Flow API) plus what the reference never had: jit-compiled train/sample paths,
 Pallas-fused spline kernels, and mesh-sharded multi-chip execution.
 """
 
-__version__ = "0.1.0"
+from nflows_tpu.version import VERSION, __version__
 
 from nflows_tpu import distributions, flows, transforms, utils
 from nflows_tpu.core.module import Module, combine, partition, set_training

@@ -61,6 +61,28 @@ REFERENCE_UTILS = [
 ]
 
 
+REFERENCE_SPLINE_FUNCS = [
+    "cubic_spline", "unconstrained_cubic_spline",
+    "linear_spline", "unconstrained_linear_spline",
+    "quadratic_spline", "unconstrained_quadratic_spline",
+    "rational_quadratic_spline", "unconstrained_rational_quadratic_spline",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_SPLINE_FUNCS)
+def test_spline_functional_exported(name):
+    # reference import path: nflows.transforms.splines.<fn>
+    import nflows_tpu.transforms.splines as S
+    assert hasattr(S, name), f"transforms.splines.{name} missing"
+
+
+def test_version_module():
+    # reference: nflows/version.py defines __version__ and VERSION
+    from nflows_tpu.version import VERSION, __version__
+    import nflows_tpu
+    assert VERSION == __version__ == nflows_tpu.__version__
+
+
 def test_get_num_parameters_counts_trainable():
     import jax
     import nflows_tpu.utils as U
