@@ -59,7 +59,7 @@ from nflows_tpu.transforms.standard import (
 # (reference keeps it at nflows/transforms/made.py with a TODO to move it).
 from nflows_tpu.nn.made import MADE
 from nflows_tpu.transforms.conv import OneByOneConvolution
-from nflows_tpu.transforms.linear import Linear, NaiveLinear
+from nflows_tpu.transforms.linear import Linear, NaiveLinear, precompute_linear_caches
 from nflows_tpu.transforms.lu import LULinear
 from nflows_tpu.transforms.orthogonal import HouseholderSequence
 from nflows_tpu.transforms.qr import QRLinear

@@ -22,7 +22,7 @@ from nflows_tpu.transforms.base import Transform
 from nflows_tpu.utils import linalg
 import nflows_tpu.utils.typechecks as check
 
-__all__ = ["Linear", "NaiveLinear"]
+__all__ = ["Linear", "NaiveLinear", "precompute_linear_caches"]
 
 
 class Linear(Transform):
@@ -74,7 +74,11 @@ class Linear(Transform):
 
     def forward(self, inputs, context=None):
         if self.using_cache and self.cache_weight is not None:
-            outputs = inputs @ self.cache_weight.T + self.bias
+            # 'highest' precision: the cache exists for numerical parity
+            # with the solve path, and these [N, D] x [D, D] GEMMs are
+            # negligible next to conditioner convs/matmuls
+            outputs = jnp.dot(inputs, self.cache_weight.T,
+                              precision=jax.lax.Precision.HIGHEST) + self.bias
             logabsdet = self.cache_logabsdet * jnp.ones(
                 inputs.shape[0], dtype=inputs.dtype
             )
@@ -83,7 +87,8 @@ class Linear(Transform):
 
     def inverse(self, inputs, context=None):
         if self.using_cache and self.cache_inverse is not None:
-            outputs = (inputs - self.bias) @ self.cache_inverse.T
+            outputs = jnp.dot(inputs - self.bias, self.cache_inverse.T,
+                              precision=jax.lax.Precision.HIGHEST)
             logabsdet = -self.cache_logabsdet * jnp.ones(
                 inputs.shape[0], dtype=inputs.dtype
             )
@@ -160,3 +165,26 @@ class NaiveLinear(Linear):
 
     def logabsdet(self):
         return linalg.logabsdet(self.weight_param)
+
+
+def precompute_linear_caches(tree):
+    """Walk a flow/transform pytree and ``precompute()`` every
+    :class:`Linear` in it — one-shot inverse/logdet baking for serving
+    (the flow-level analogue of the reference putting a model in eval mode
+    so per-layer caches fill, linear.py:87-96). Returns the new tree."""
+    from nflows_tpu.core.module import Module
+
+    def walk(x):
+        if isinstance(x, Linear):
+            return x.precompute()
+        if isinstance(x, Module):
+            return x.replace(**{
+                f: walk(getattr(x, f)) for f in type(x)._child_fields
+            })
+        if isinstance(x, (tuple, list)):
+            return type(x)(walk(v) for v in x)
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        return x
+
+    return walk(tree)
