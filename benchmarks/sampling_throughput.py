@@ -28,6 +28,14 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _tpu_setup():
+    """Standard TPU inference configuration: bf16 MXU matmuls with fp32
+    accumulation (same policy as bench.py's training loop); spline/logdet
+    elementwise numerics stay fp32 on the VPU."""
+    import jax
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+
 def _ref_setup():
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
@@ -60,6 +68,7 @@ IMG_BATCH = 512
 
 
 def maf_ours():
+    _tpu_setup()
     import jax
     from nflows_tpu.flows import MaskedAutoregressiveFlow
 
@@ -90,6 +99,7 @@ def maf_reference():
 
 
 def nsf_ours():
+    _tpu_setup()
     import jax
     import jax.numpy as jnp
     from nflows_tpu.models import NeuralSplineFlow
@@ -137,6 +147,7 @@ def _glow_config():
 
 
 def glow_ours():
+    _tpu_setup()
     import jax
     import jax.numpy as jnp
     from nflows_tpu.models import GlowFlow
