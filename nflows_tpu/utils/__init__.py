@@ -20,6 +20,7 @@ from nflows_tpu.utils.shapes import (
     tile,
 )
 from nflows_tpu.utils import typechecks
+from nflows_tpu.utils.validation import checkify_wrap, domain_checked_forward
 from nflows_tpu.utils.typechecks import (
     is_bool,
     is_int,
