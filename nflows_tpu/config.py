@@ -29,12 +29,14 @@ def use_pallas_splines(enable=None):
         _state["use_pallas_splines"] = bool(enable)
         return _state["use_pallas_splines"]
     setting = _state["use_pallas_splines"]
-    if setting is not None:
-        return setting
-    if os.environ.get("NFLOWS_TPU_ENABLE_PALLAS"):
-        from nflows_tpu.ops.pallas.rq_spline import pallas_available
-        return pallas_available()
-    return False
+    if setting is None:
+        setting = bool(os.environ.get("NFLOWS_TPU_ENABLE_PALLAS"))
+    if not setting:
+        return False
+    # even when explicitly enabled, fall back to the XLA path off-TPU
+    # rather than crashing in pallas_call lowering
+    from nflows_tpu.ops.pallas.rq_spline import pallas_available
+    return pallas_available()
 
 
 def set_pallas_splines(enable: bool) -> None:

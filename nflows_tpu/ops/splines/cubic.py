@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from nflows_tpu.ops import binning
@@ -93,10 +94,10 @@ def cubic_spline(
     min_something = jnp.minimum(min_something_1, min_something_2)
 
     derivatives_left = (
-        jax_sigmoid(unnorm_derivatives_left) * 3 * slopes[..., 0][..., None]
+        jax.nn.sigmoid(unnorm_derivatives_left) * 3 * slopes[..., 0][..., None]
     )
     derivatives_right = (
-        jax_sigmoid(unnorm_derivatives_right) * 3 * slopes[..., -1][..., None]
+        jax.nn.sigmoid(unnorm_derivatives_right) * 3 * slopes[..., -1][..., None]
     )
     derivatives = min_something * (
         jnp.sign(slopes[..., :-1]) + jnp.sign(slopes[..., 1:])
@@ -208,8 +209,7 @@ def cubic_spline(
     return outputs, logabsdet
 
 
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+
 
 
 def unconstrained_cubic_spline(

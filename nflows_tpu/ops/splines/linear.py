@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nflows_tpu.ops import binning
@@ -39,10 +40,7 @@ def linear_spline(
         inputs = (inputs - left) / (right - left)
 
     num_bins = unnormalized_pdf.shape[-1]
-    pdf = jnp.exp(
-        unnormalized_pdf - jnp.max(unnormalized_pdf, axis=-1, keepdims=True)
-    )
-    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    pdf = jax.nn.softmax(unnormalized_pdf, axis=-1)
 
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = cdf.at[..., -1].set(1.0)

@@ -27,6 +27,7 @@ __all__ = [
     "MaskedPiecewiseQuadraticAutoregressiveTransform",
     "MaskedPiecewiseCubicAutoregressiveTransform",
     "MaskedPiecewiseRationalQuadraticAutoregressiveTransform",
+    "MaskedUMNNAutoregressiveTransform",
 ]
 
 
@@ -79,20 +80,11 @@ class MaskedAffineAutoregressiveTransform(AutoregressiveTransform):
                  key=None, activation=jax.nn.relu, dropout_probability=0.0,
                  use_batch_norm=False):
         self.features = features
-        made = made_module.MADE(
-            features=features,
-            hidden_features=hidden_features,
-            context_features=context_features,
-            num_blocks=num_blocks,
-            output_multiplier=self._output_dim_multiplier(),
-            use_residual_blocks=use_residual_blocks,
-            random_mask=random_mask,
-            key=key,
-            activation=activation,
-            dropout_probability=dropout_probability,
-            use_batch_norm=use_batch_norm,
-        )
-        super().__init__(made)
+        super().__init__(_build_made(
+            features, hidden_features, context_features, num_blocks,
+            self._output_dim_multiplier(), use_residual_blocks, random_mask,
+            key, activation, dropout_probability, use_batch_norm,
+        ))
 
     _EPSILON = 1e-3
 

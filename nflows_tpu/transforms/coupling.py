@@ -35,6 +35,7 @@ __all__ = [
     "PiecewiseQuadraticCouplingTransform",
     "PiecewiseCubicCouplingTransform",
     "PiecewiseRationalQuadraticCouplingTransform",
+    "UMNNCouplingTransform",
 ]
 
 
@@ -228,18 +229,26 @@ class PiecewiseCouplingTransform(CouplingTransform):
     def _piecewise_cdf(self, inputs, transform_params, inverse=False):
         raise NotImplementedError()
 
-    def _softmax_rescale(self, *param_groups):
-        """Divide softmax inputs by sqrt(hidden) for init quality
-        (reference coupling.py:554-563)."""
+    def _softmax_rescale(self, *param_groups, include_channels=False):
+        """Divide softmax inputs by sqrt(hidden) for init quality.
+
+        Reference parity: quadratic/cubic couplings scale only when the net
+        has ``hidden_features`` (reference coupling.py:407-409, 478-480);
+        only the RQ coupling also falls back to ``hidden_channels`` and
+        warns otherwise (coupling.py:554-563) — pass
+        ``include_channels=True`` for that variant.
+        """
         net = self.transform_net
         if hasattr(net, "hidden_features"):
             s = 1.0 / np.sqrt(net.hidden_features)
-        elif hasattr(net, "hidden_channels"):
+        elif include_channels and hasattr(net, "hidden_channels"):
             s = 1.0 / np.sqrt(net.hidden_channels)
-        else:
+        elif include_channels:
             warnings.warn(
                 "Inputs to the softmax are not scaled down: initialization might be bad."
             )
+            s = 1.0
+        else:
             s = 1.0
         return tuple(p * s for p in param_groups)
 
@@ -443,7 +452,7 @@ class PiecewiseRationalQuadraticCouplingTransform(PiecewiseCouplingTransform):
         unnormalized_heights = transform_params[..., self.num_bins: 2 * self.num_bins]
         unnormalized_derivatives = transform_params[..., 2 * self.num_bins:]
         unnormalized_widths, unnormalized_heights = self._softmax_rescale(
-            unnormalized_widths, unnormalized_heights
+            unnormalized_widths, unnormalized_heights, include_channels=True
         )
         kwargs = {}
         if self.tails is None:
@@ -504,6 +513,17 @@ class UMNNCouplingTransform(CouplingTransform):
             )
         raise NotImplementedError  # image path handled in callers
 
+    def _image_params(self, c, transform_params):
+        """[B, c*cond, H, W] -> per-pixel [B*H*W, c, cond], feature-major —
+        the same convention as the 2D path. (The reference's 4D path instead
+        passes [N, 1, c*cond] and lets MonotonicNormalizer reinterpret it
+        param-major with a z0 offset shared across channels,
+        coupling.py:196-198 + UMNN/MonotonicNormalizer.py:52-54 — an
+        inconsistency with its own 2D path that we deliberately do not
+        reproduce.)"""
+        return transform_params.transpose(0, 2, 3, 1).reshape(
+            -1, c, self.cond_size)
+
     def _coupling_transform_forward(self, inputs, transform_params):
         if inputs.ndim == 2:
             z, jac = self.transformer.forward(
@@ -512,7 +532,7 @@ class UMNNCouplingTransform(CouplingTransform):
             return z, jnp.sum(jnp.log(jac), axis=1)
         b, c, h, w = inputs.shape
         flat_x = inputs.transpose(0, 2, 3, 1).reshape(-1, c)
-        flat_h = transform_params.transpose(0, 2, 3, 1).reshape(-1, 1, transform_params.shape[1])
+        flat_h = self._image_params(c, transform_params)
         z, jac = self.transformer.forward(flat_x, flat_h)
         log_det = jnp.sum(jnp.log(jac).reshape(b, -1), axis=1)
         return z.reshape(b, h, w, c).transpose(0, 3, 1, 2), log_det
@@ -525,7 +545,7 @@ class UMNNCouplingTransform(CouplingTransform):
             return x, -jnp.sum(jnp.log(jac), axis=1)
         b, c, h, w = inputs.shape
         flat_z = inputs.transpose(0, 2, 3, 1).reshape(-1, c)
-        flat_h = transform_params.transpose(0, 2, 3, 1).reshape(-1, 1, transform_params.shape[1])
+        flat_h = self._image_params(c, transform_params)
         x = self.transformer.inverse_transform(flat_z, flat_h)
         _, jac = self.transformer.forward(x, flat_h)
         log_det = -jnp.sum(jnp.log(jac).reshape(b, -1), axis=1)

@@ -80,3 +80,46 @@ def test_umnn_unconditional_transform_rejected():
     with pytest.raises(NotImplementedError):
         UMNNCouplingTransform(mask, lambda i, o: None,
                               apply_unconditional_transform=True)
+
+
+def test_umnn_coupling_image_roundtrip():
+    """Regression: the 4D (NCHW) path crashed before the feature-major
+    per-pixel param reshape (coupling.py:_image_params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nflows_tpu.nn.nets import ConvResidualNet
+    from nflows_tpu.transforms import UMNNCouplingTransform
+
+    t = UMNNCouplingTransform(
+        mask=np.array([1, -1, 1, -1], dtype=np.float32),
+        transform_net_create_fn=lambda i, o: ConvResidualNet(
+            i, o, hidden_channels=8, num_blocks=1, key=jax.random.key(0)),
+        integrand_net_layers=[16, 16],
+        cond_size=4,
+        nb_steps=12,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 3, 3)),
+                    dtype=jnp.float32)
+    y, lad = t.forward(x)
+    assert y.shape == x.shape and lad.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    x2, lad_inv = t.inverse(y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(lad + lad_inv),
+                               np.zeros(2), atol=1e-3)
+
+
+def test_pallas_config_falls_back_off_tpu():
+    """set_pallas_splines(True) off-TPU must fall back, not crash."""
+    import jax
+
+    from nflows_tpu import config
+
+    assert jax.default_backend() == "cpu"  # conftest forces cpu
+    config.set_pallas_splines(True)
+    try:
+        assert config.use_pallas_splines() is False
+    finally:
+        config.set_pallas_splines(False)
