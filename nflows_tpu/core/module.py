@@ -43,6 +43,7 @@ __all__ = [
     "field",
     "partition",
     "combine",
+    "set_training",
     "is_trainable_leaf",
 ]
 
@@ -237,7 +238,11 @@ def _split(x: Any, take_params: bool) -> Any:
         object.__setattr__(obj, "_mod_frozen", True)
         return obj
     elif isinstance(x, (tuple, list)):
-        return type(x)(_split(v, take_params) for v in x)
+        items = [_split(v, take_params) for v in x]
+        # NamedTuples (e.g. optax states) need positional construction
+        if hasattr(type(x), "_fields"):
+            return type(x)(*items)
+        return type(x)(items)
     elif isinstance(x, dict):
         return {k: _split(v, take_params) for k, v in x.items()}
     elif x is None:
@@ -269,7 +274,10 @@ def set_training(tree: Any, mode: bool) -> Any:
                 updates["training"] = mode
             return x.replace(**updates)
         if isinstance(x, (tuple, list)):
-            return type(x)(walk(v) for v in x)
+            items = [walk(v) for v in x]
+            if hasattr(type(x), "_fields"):  # NamedTuple (optax states)
+                return type(x)(*items)
+            return type(x)(items)
         if isinstance(x, dict):
             return {k: walk(v) for k, v in x.items()}
         return x

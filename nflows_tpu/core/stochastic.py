@@ -55,6 +55,26 @@ def next_rng_key():
     if not stack:
         return None
     frame = stack[-1]
-    key = jax.random.fold_in(frame["key"], frame["counter"])
+    base = frame["key"]
+    if not isinstance(base, jax.core.Tracer) and not _trace_state_clean():
+        # `with stochastic(key):` was entered OUTSIDE the jitted function but
+        # a dropout draw is happening INSIDE a trace: the concrete key would
+        # be baked into the compiled program as a constant and every cached
+        # call would reuse the same dropout masks.
+        raise RuntimeError(
+            "stochastic(key) was entered outside the traced function; the "
+            "key would be baked into the compiled program as a constant. "
+            "Enter the context inside the jitted function (pass the key as "
+            "an argument), e.g. make_train_step(...)(state, batch, key=key)."
+        )
+    key = jax.random.fold_in(base, frame["counter"])
     frame["counter"] += 1
     return key
+
+
+def _trace_state_clean() -> bool:
+    try:
+        from jax._src import core as _core
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return True  # internal API moved: skip the footgun check

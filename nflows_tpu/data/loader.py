@@ -30,11 +30,17 @@ def _build_library() -> str:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     out = os.path.join(os.path.dirname(_SRC), f"libnflowsdata_{digest}.so")
     if not os.path.exists(out):
+        # compile to a process-unique temp path and rename into place so
+        # concurrent processes never CDLL a half-written file (rename is
+        # atomic on POSIX; loser of the race just overwrites with identical
+        # bytes)
+        tmp = f"{out}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", _SRC, "-o", out,
+            "-pthread", _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
     return out
 
 
@@ -81,6 +87,11 @@ class NativeDataLoader:
         self._lib = lib
         data = np.ascontiguousarray(data, dtype=np.float32)
         self.n, self.dim = data.shape
+        if drop_last and batch_size > self.n:
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {self.n} with "
+                "drop_last=True would never yield a batch"
+            )
         self.batch_size = batch_size
         if context is not None:
             context = np.ascontiguousarray(context, dtype=np.float32)
@@ -142,6 +153,11 @@ class NumpyDataLoader:
         self.context = (
             np.asarray(context, dtype=np.float32) if context is not None else None
         )
+        if drop_last and batch_size > len(self.data):
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {len(self.data)} "
+                "with drop_last=True would never yield a batch"
+            )
         self.batch_size = batch_size
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)

@@ -194,7 +194,10 @@ def _child(v, rv, what=""):
     if isinstance(v, (tuple, list)):
         if len(v) != len(rv):
             raise ValueError(f"{what}: length mismatch {len(v)} vs {len(rv)}")
-        return type(v)(_child(a, b, what=what) for a, b in zip(v, rv))
+        items = [_child(a, b, what=what) for a, b in zip(v, rv)]
+        if hasattr(type(v), "_fields"):  # NamedTuple
+            return type(v)(*items)
+        return type(v)(items)
     if hasattr(v, "shape"):
         return _copy_array(v, rv, what=what)
     return v

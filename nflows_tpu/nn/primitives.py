@@ -91,6 +91,10 @@ class Conv2d(Module):
             stride = (stride, stride)
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
+        elif (isinstance(padding, (tuple, list)) and len(padding) == 2
+              and all(isinstance(p, int) for p in padding)):
+            # torch-style (ph, pw) -> lax ((ph, ph), (pw, pw))
+            padding = ((padding[0], padding[0]), (padding[1], padding[1]))
         fan_in = in_channels * kernel_size[0] * kernel_size[1]
         bound = w_init_scale if w_init_scale is not None else 1.0 / math.sqrt(fan_in)
         self.weight = jax.random.uniform(

@@ -22,10 +22,6 @@ import jax
 __all__ = ["save_checkpoint", "restore_checkpoint", "CheckpointManager"]
 
 
-def _checkpointer():
-    import orbax.checkpoint as ocp
-    return ocp.StandardCheckpointer()
-
 
 def save_checkpoint(path: str, state: Any) -> None:
     """Save a pytree (TrainState, flow, params...) to ``path`` (a directory)."""

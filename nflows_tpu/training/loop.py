@@ -34,11 +34,15 @@ def run_training(
     log_every: int = 100,
     logger: Optional[MetricLogger] = None,
     prepare_batch: Callable = lambda b: b,
+    fast_forward_data: bool = True,
 ) -> TrainState:
     """Run (or resume) a training loop.
 
     Restores the newest checkpoint in ``checkpoint_dir`` when present; saves
     every ``checkpoint_every`` steps and at the end. Returns final state.
+    On resume the loader is fast-forwarded by the restored step count so the
+    run continues the data stream (disable with ``fast_forward_data=False``
+    if the loader is not deterministic or replay is too expensive).
     """
     logger = logger or MetricLogger()
     mgr = None
@@ -50,6 +54,12 @@ def run_training(
 
     start = int(state.step)
     it = iter(loader)
+    if start > 0 and fast_forward_data:
+        # replay the loader to its pre-preemption position so the resumed
+        # run continues the data stream instead of re-consuming the prefix
+        # (loaders are deterministic given their seed)
+        for _ in range(start):
+            next(it)
     t0 = time.time()
     metrics = None
     for i in range(start, num_steps):
@@ -61,8 +71,7 @@ def run_training(
         if (i + 1) % log_every == 0:
             jax.block_until_ready(metrics["loss"])
             rate = (i + 1 - start) / (time.time() - t0)
-            logger.log(i + 1, steps_per_s=rate,
-                       **{k: v for k, v in metrics.items()})
+            logger.log(i + 1, steps_per_s=rate, **metrics)
         if mgr is not None and (i + 1) % checkpoint_every == 0:
             mgr.save(i + 1, state)
 

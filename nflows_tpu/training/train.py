@@ -101,26 +101,34 @@ def make_scan_train_step(
     loss_fn: Callable = nll_loss,
     donate: bool = True,
 ):
-    """Build ``steps(state, batches) -> (new_state, metrics)`` running one
-    ``lax.scan`` over a leading minibatch axis: ``batches`` is
+    """Build ``steps(state, batches, key=None) -> (new_state, metrics)``
+    running one ``lax.scan`` over a leading minibatch axis: ``batches`` is
     [num_steps, batch, ...]. The whole window is ONE compiled program — no
     per-step host dispatch, the standard TPU train-loop-in-jit pattern.
-    Returns per-step losses [num_steps].
+    Returns per-step losses [num_steps]. Pass ``key`` to activate dropout
+    (each scanned step folds the step counter into it, same stream contract
+    as make_train_step's ``key``).
     """
 
-    def one(state: TrainState, batch):
-        def compute_loss(params):
-            flow = combine(params, state.rest)
-            return loss_fn(flow, batch, None)
+    def steps(state: TrainState, batches, key=None):
+        def one(state: TrainState, batch):
+            def compute_loss(params):
+                flow = combine(params, state.rest)
+                if key is None:
+                    return loss_fn(flow, batch, None)
+                # per-step dropout stream: fold the (traced) step counter in
+                from nflows_tpu.core.stochastic import stochastic
+                with stochastic(jax.random.fold_in(key, state.step)):
+                    return loss_fn(flow, batch, None)
 
-        loss, grads = jax.value_and_grad(compute_loss)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(
-            params=new_params, opt_state=new_opt_state, step=state.step + 1
-        ), loss
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                params=new_params, opt_state=new_opt_state, step=state.step + 1
+            ), loss
 
-    def steps(state: TrainState, batches):
         return jax.lax.scan(one, state, batches)
 
     return jax.jit(steps, donate_argnums=(0,) if donate else ())

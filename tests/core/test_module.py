@@ -99,3 +99,23 @@ def test_int_buffers_not_trainable():
 
     params, rest = partition(P())
     assert params.idx is None and rest.idx is not None
+
+
+def test_namedtuple_pytrees_survive_split_and_set_training():
+    """Regression: optax states are NamedTuples; type(x)(generator) broke
+    partition/_split and set_training (confirmed crash)."""
+    import jax
+    import optax
+
+    from nflows_tpu.core.module import partition, set_training
+    from nflows_tpu.flows import SimpleRealNVP
+    from nflows_tpu.training import create_train_state
+
+    flow = SimpleRealNVP(features=2, hidden_features=8, num_layers=1,
+                         num_blocks_per_layer=1, key=jax.random.key(0),
+                         batch_norm_between_layers=True)
+    state = create_train_state(flow, optax.adam(1e-3))
+    params, rest = partition(state)  # crashed before the fix
+    assert params is not None and rest is not None
+    out = set_training(state, False)
+    assert type(out.opt_state) is type(state.opt_state)

@@ -74,3 +74,22 @@ def test_train_step_with_dropout_key():
     # eval path (no key) still works
     s3, m3 = step(state, x)
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_stochastic_outside_jit_with_trace_inside_raises():
+    """Regression: entering stochastic(key) outside the jitted function
+    would bake the concrete key into the compiled program as a constant."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from nflows_tpu.core.stochastic import next_rng_key, stochastic
+
+    @jax.jit
+    def traced(x):
+        k = next_rng_key()
+        return x if k is None else x + jax.random.normal(k, x.shape)
+
+    with stochastic(jax.random.key(0)):      # concrete key, outside jit
+        with pytest.raises(RuntimeError, match="baked into the compiled"):
+            traced(jnp.zeros(3))

@@ -85,3 +85,18 @@ def test_native_deterministic_given_seed():
     for _ in range(3):
         np.testing.assert_array_equal(next(l1), next(l2))
     l1.close(); l2.close()
+
+
+def test_drop_last_larger_batch_raises():
+    """Regression: batch_size > n with drop_last hung the native loader
+    (and short-batched the numpy one) instead of erroring."""
+    import numpy as np
+    import pytest
+
+    from nflows_tpu.data import NumpyDataLoader, make_dataloader
+
+    data = np.zeros((10, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="never yield"):
+        make_dataloader(data, 128)
+    with pytest.raises(ValueError, match="never yield"):
+        NumpyDataLoader(data, 128)

@@ -82,3 +82,32 @@ def test_realnvp_trains():
         if m0 is None:
             m0 = float(metrics["loss"])
     assert float(metrics["loss"]) < m0
+
+
+def test_scan_train_step_dropout_key():
+    """Regression: scan loop previously had no dropout-key path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.training import create_train_state
+    from nflows_tpu.training.train import make_scan_train_step
+
+    flow = MaskedAutoregressiveFlow(features=2, hidden_features=16,
+                                    num_layers=1, num_blocks_per_layer=1,
+                                    dropout_probability=0.5,
+                                    key=jax.random.key(0))
+    opt = optax.adam(1e-3)
+    steps = make_scan_train_step(opt, donate=False)
+    W = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 2)),
+                    dtype=jnp.float32)
+
+    state = create_train_state(flow, opt)
+    _, losses_nokey = steps(state, W)
+    state = create_train_state(flow, opt)
+    _, losses_key = steps(state, W, jax.random.key(1))
+    assert np.all(np.isfinite(np.asarray(losses_key)))
+    # dropout active -> different losses than the eval-mode path
+    assert not np.allclose(np.asarray(losses_nokey), np.asarray(losses_key))
