@@ -41,7 +41,10 @@ class GlowFlow(Flow):
                  key=None, rng=None):
         key = ensure_key(key)
         if rng is None:
-            rng = np.random.default_rng(0)
+            # derive permutation/1x1-conv randomness from `key` so
+            # different keys give different permutations, reproducibly
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(key)).ravel())
         c, h, w = image_shape
         keys = jax.random.split(key, num_levels * steps_per_level + 1)
 

@@ -33,7 +33,10 @@ class InverseAutoregressiveFlow(Flow):
         key = ensure_key(key)
         keys = jax.random.split(key, num_layers)
         if rng is None:
-            rng = np.random.default_rng()
+            # derive permutation/1x1-conv randomness from `key` so
+            # different keys give different permutations, reproducibly
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(key)).ravel())
 
         layers = []
         for i in range(num_layers):

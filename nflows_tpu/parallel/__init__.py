@@ -13,6 +13,7 @@ from nflows_tpu.parallel.pipeline import (
 )
 from nflows_tpu.parallel.train import (
     apply_tensor_parallelism,
+    make_gspmd_train_step,
     make_sharded_sampler,
     make_sharded_train_step,
     tensor_parallel_sharding,

@@ -47,6 +47,7 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 
     ``data=None`` uses all devices not consumed by ``model``.
     """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -54,7 +55,12 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n and devices is jax.devices():
+    if data * model != n:
+        if explicit or data * model > n:
+            raise ValueError(
+                f"mesh ({data} x {model}) needs {data * model} devices, "
+                f"got {n}"
+            )
         devices = devices[: data * model]
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))

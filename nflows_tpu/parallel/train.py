@@ -29,6 +29,7 @@ from nflows_tpu.training.train import TrainState, nll_loss
 
 __all__ = [
     "make_sharded_train_step",
+    "make_gspmd_train_step",
     "make_sharded_sampler",
     "tensor_parallel_sharding",
     "apply_tensor_parallelism",
@@ -42,11 +43,14 @@ def make_sharded_train_step(
     donate: bool = True,
     with_context: bool = False,
 ):
-    """Build a pjit-compiled DP train step over ``mesh``.
+    """Build an explicit shard_map DP train step over ``mesh``.
 
     ``step(state, batch[, context]) -> (state, metrics)`` with the batch
     (and context) sharded on the 'data' axis. Loss/grads are the global
-    batch mean via pmean over ICI.
+    batch mean via pmean over ICI. Parameters and optimizer state are
+    REPLICATED (in_spec P()): to train a tensor-parallel-sharded flow use
+    :func:`make_gspmd_train_step`, which preserves the param shardings and
+    lets XLA place the collectives.
     """
 
     state_spec = P()       # replicated params/opt state
@@ -82,7 +86,7 @@ def make_sharded_train_step(
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def make_sharded_sampler(flow_template, mesh: Mesh, num_samples_per_device: int):
+def make_sharded_sampler(mesh: Mesh, num_samples_per_device: int):
     """Build ``sample(flow, key) -> [n_data_devices * n_per_device, ...]``.
 
     Each device draws its own shard with a key folded by its mesh position,
@@ -103,6 +107,46 @@ def make_sharded_sampler(flow_template, mesh: Mesh, num_samples_per_device: int)
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_gspmd_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Callable = nll_loss,
+    donate: bool = True,
+):
+    """Build a GSPMD (auto-partitioned) train step: DP x TP composition.
+
+    The batch is constrained to P('data'); the TrainState keeps whatever
+    shardings its arrays already carry (e.g. from
+    :func:`apply_tensor_parallelism`), and XLA inserts the gradient
+    all-reduce over 'data' and the TP collectives over 'model'. Unlike
+    :func:`make_sharded_train_step` (explicit shard_map, replicated
+    params), TP-sharded parameters STAY sharded through the update —
+    sharding propagation keeps new_params on the same layout, so per-device
+    parameter/optimizer memory is 1/TP-degree.
+
+    ``step(state, batch, context=None) -> (state, metrics)``.
+    """
+    batch_sharding = data_sharding(mesh)
+
+    def step(state: TrainState, batch, context=None):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+
+        def compute_loss(params):
+            flow = combine(params, state.rest)
+            return loss_fn(flow, batch, context)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 # ---------------------------------------------------------------------------

@@ -80,4 +80,5 @@ def get_temperature(max_value, bound: float = 1 - 1e-3):
 
     max_value = jnp.asarray(max_value)
     bound_ = jnp.asarray(bound, dtype=max_value.dtype)
-    return jnp.log(bound_ / (1 - bound_)) / max_value
+    # reference clamps to 1 (torchutils.py:155-159)
+    return jnp.minimum(jnp.log(bound_ / (1 - bound_)) / max_value, 1.0)

@@ -52,6 +52,8 @@ def domain_checked_forward(transform, low: Optional[float] = None,
     any input lies outside [low, high] — the checkified analogue of the
     reference's ``InputOutsideDomain`` (nflows/transforms/base.py:16-19),
     e.g. ``domain_checked_forward(Logit(), 0., 1.)``."""
+    if direction not in ("forward", "inverse"):
+        raise ValueError(f"direction must be forward|inverse, got {direction!r}")
     apply = transform.inverse if direction == "inverse" else transform.forward
 
     def fn(x, context=None):

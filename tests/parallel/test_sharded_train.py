@@ -82,7 +82,7 @@ def test_dp_loss_decreases(mesh):
 
 def test_sharded_sampler(mesh):
     flow, _ = _setup()
-    sampler = make_sharded_sampler(flow, mesh, num_samples_per_device=16)
+    sampler = make_sharded_sampler(mesh, num_samples_per_device=16)
     samples = sampler(flow, jax.random.key(0))
     assert samples.shape == (8 * 16, 2)
     arr = np.asarray(samples)
@@ -121,3 +121,28 @@ def test_dp_with_context(mesh):
     c = shard_batch(jnp.ones((64, 3)), mesh)
     state, m = step(state, x, c)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_gspmd_step_preserves_tp_sharding(mesh_tp):
+    from nflows_tpu.parallel import make_gspmd_train_step
+
+    flow, optimizer = _setup(3)
+    flow_tp = apply_tensor_parallelism(flow, mesh_tp)
+    state = create_train_state(flow_tp, optimizer)
+    step = make_gspmd_train_step(optimizer, mesh_tp, donate=False)
+    X, _ = make_moons(64, noise=0.1, rng=np.random.default_rng(3))
+    batch = shard_batch(jnp.asarray(X), mesh_tp)
+
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # TP sharding must survive the update (the shard_map DP step would
+    # have all-gathered the params to replicated)
+    w = state.params.transform.transforms[0].transform_net.blocks[0].linear_0.weight
+    assert "model" in str(w.sharding.spec)
+
+    # numerics match the replicated single-device step
+    state_ref = create_train_state(flow, optimizer)
+    from nflows_tpu.training import make_train_step
+    ref_step = make_train_step(optimizer, donate=False)
+    state_ref, m_ref = ref_step(state_ref, jnp.asarray(X))
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), atol=1e-5)
