@@ -14,7 +14,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import os
 import time
 
 import jax
@@ -59,9 +58,12 @@ def main():
         X = np.asarray(X, dtype=np.float32)
     else:
         X = synthetic_power_like(seed=args.seed)
-    X = (X - X.mean(0)) / X.std(0)
     n_test = max(1024, len(X) // 10)
     X_train, X_test = X[:-n_test], X[-n_test:]
+    # normalize with TRAIN statistics only (no test leakage into the eval)
+    mu, sd = X_train.mean(0), X_train.std(0)
+    X_train = (X_train - mu) / sd
+    X_test = (X_test - mu) / sd
     print(f"data: train {X_train.shape}, test {X_test.shape}")
 
     flow = NeuralSplineFlow(

@@ -56,8 +56,10 @@ class Linear(Transform):
     def precompute(self) -> "Linear":
         """Bake (weight, inverse, logabsdet) into buffers for fast repeated
         eval — the analogue of the reference's eval-mode cache fill."""
-        weight, logabsdet = self.weight_and_logabsdet()
-        inverse = self.weight_inverse()
+        # weight_inverse_and_logabsdet shares one factorization where the
+        # subclass provides it (NaiveLinear's LU), vs paying slogdet + inv
+        inverse, logabsdet = self.weight_inverse_and_logabsdet()
+        weight = self.weight()
         return self.replace(
             cache_weight=weight,
             cache_inverse=inverse,
@@ -182,7 +184,10 @@ def precompute_linear_caches(tree):
                 f: walk(getattr(x, f)) for f in type(x)._child_fields
             })
         if isinstance(x, (tuple, list)):
-            return type(x)(walk(v) for v in x)
+            items = [walk(v) for v in x]
+            if hasattr(type(x), "_fields"):  # NamedTuple (optax states)
+                return type(x)(*items)
+            return type(x)(items)
         if isinstance(x, dict):
             return {k: walk(v) for k, v in x.items()}
         return x

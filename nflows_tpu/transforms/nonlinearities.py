@@ -150,26 +150,30 @@ class Sigmoid(Transform):
     """Tempered sigmoid, optionally learnable temperature
     (reference nonlinearities.py:139-169)."""
 
-    temperature: jnp.ndarray
+    temperature: object  # trainable [1] array when learnable, else None
     eps: float = static()
     learn_temperature: bool = static()
+    fixed_temperature: object = static(default=None)
 
     def __init__(self, temperature=1.0, eps: float = 1e-6,
                  learn_temperature: bool = False):
         self.eps = eps
         self.learn_temperature = learn_temperature
-        temp = jnp.asarray([float(temperature)])
         if learn_temperature:
-            self.temperature = temp
+            self.temperature = jnp.asarray([float(temperature)])
+            self.fixed_temperature = None
         else:
-            # int-free but non-trainable: stop-gradient at use; store as is
-            self.temperature = temp
+            # a fixed temperature must NOT be a trainable leaf: partition()
+            # would hand it to the optimizer and e.g. adamw weight decay
+            # would silently shrink it (reference registers a buffer here,
+            # nonlinearities.py:144-147)
+            self.temperature = None
+            self.fixed_temperature = float(temperature)
 
     def _temp(self):
-        t = self.temperature
-        if not self.learn_temperature:
-            t = jax.lax.stop_gradient(t)
-        return t
+        if self.learn_temperature:
+            return self.temperature
+        return jnp.asarray([self.fixed_temperature])
 
     def forward(self, inputs, context=None):
         t = self._temp()

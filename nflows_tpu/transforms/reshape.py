@@ -46,7 +46,9 @@ class SqueezeTransform(Transform):
             raise ValueError("Expecting inputs with 4 dimensions")
         batch_size, c, h, w = inputs.shape
         f = self.factor
-        if c < 4 or c % 4 != 0:
+        # factor-generic check (the reference hardcodes 4, reshape.py:49,
+        # which is wrong for factor != 2 despite accepting any factor > 1)
+        if c < f ** 2 or c % (f ** 2) != 0:
             raise ValueError("Invalid number of channel dimensions.")
 
         out = inputs.reshape(batch_size, c // f ** 2, f, f, h, w)

@@ -91,22 +91,26 @@ class MonotonicNormalizer(Module):
         self.solver = solver
 
     def _integrate(self, x0, xT, h):
-        """Clenshaw–Curtis: ∫_{x0}^{xT} f(t, h) dt, elementwise over [B, D]."""
+        """Clenshaw–Curtis: ∫_{x0}^{xT} f(t, h) dt, elementwise over [B, D].
+
+        Also returns f(xT, h): node 0 is cos(0) = 1, i.e. ts[0] == xT, so
+        the quadrature already evaluated the integrand there — callers reuse
+        it as the jacobian instead of paying another IntegrandNet pass."""
         nodes, weights = cc_nodes_weights(self.nb_steps)
         half_len = (xT - x0) / 2.0
         center = (xT + x0) / 2.0
         # evaluate integrand at all nodes: [S+1, B, D]
         ts = center[None, ...] + half_len[None, ...] * jnp.asarray(nodes)[:, None, None]
         f = jax.vmap(lambda t: self.integrand_net(t, h))(ts)
-        return half_len * jnp.tensordot(jnp.asarray(weights), f, axes=(0, 0))
+        return half_len * jnp.tensordot(jnp.asarray(weights), f, axes=(0, 0)), f[0]
 
     def forward(self, x, h, context=None):
         """Returns (z, jac) with jac = f(x, h) = dz/dx
         (reference MonotonicNormalizer.py:49-64)."""
         x0 = jnp.zeros_like(x)
         z0 = h[:, :, 0]
-        z = self._integrate(x0, x, h) + z0
-        return z, self.integrand_net(x, h)
+        integral, f_end = self._integrate(x0, x, h)
+        return integral + z0, f_end
 
     def __call__(self, x, h, context=None):
         return self.forward(x, h, context)

@@ -59,10 +59,15 @@ def test_sigmoid_temperature_learnable():
     params, rest = partition(t)
     g = jax.grad(lambda p: loss(combine(p, rest)))(params)
     assert float(jnp.abs(g.temperature).sum()) > 0
-    # non-learnable: temperature grad is stopped
+    # non-learnable: temperature is not a trainable leaf AT ALL (a zeroed
+    # grad would still let optax weight decay shrink it)
+    assert t2.num_parameters() == 0
     params2, rest2 = partition(t2)
-    g2 = jax.grad(lambda p: loss(combine(p, rest2)))(params2)
-    np.testing.assert_allclose(np.asarray(g2.temperature), 0.0)
+    assert params2.temperature is None
+    # and the transform still computes with the fixed value
+    y1, _ = t.forward(x)
+    y2, _ = t2.forward(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
 def test_gated_linear_unit():

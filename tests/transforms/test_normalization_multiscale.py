@@ -140,3 +140,20 @@ def test_composite_initialize_with_data_threads_chain():
     assert not bool(jnp.any(jnp.isnan(out)))
     # running stats were absorbed
     assert float(jnp.abs(new_chain.transforms[1].running_mean).sum()) > 0
+
+
+def test_squeeze_factor3_roundtrip():
+    """Regression: inverse hardcoded the factor-2 channel check and rejected
+    (or miscomputed) other factors."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nflows_tpu.transforms import SqueezeTransform
+
+    t = SqueezeTransform(factor=3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 6, 6)),
+                    dtype=jnp.float32)
+    y, lad = t.forward(x)
+    assert y.shape == (2, 9, 2, 2)
+    x2, _ = t.inverse(y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
