@@ -1,4 +1,4 @@
-from nflows_tpu.ops.splines import cubic, linear, quadratic, rational_quadratic
+from nflows_tpu.ops.splines import cubic, linear, linear_rational, quadratic, rational_quadratic
 from nflows_tpu.ops.splines.cubic import cubic_spline, unconstrained_cubic_spline
 from nflows_tpu.ops.splines.linear import linear_spline, unconstrained_linear_spline
 from nflows_tpu.ops.splines.quadratic import (
@@ -8,4 +8,8 @@ from nflows_tpu.ops.splines.quadratic import (
 from nflows_tpu.ops.splines.rational_quadratic import (
     rational_quadratic_spline,
     unconstrained_rational_quadratic_spline,
+)
+from nflows_tpu.ops.splines.linear_rational import (
+    linear_rational_spline,
+    unconstrained_linear_rational_spline,
 )

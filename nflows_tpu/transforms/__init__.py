@@ -6,6 +6,7 @@ from nflows_tpu.transforms.autoregressive import (
     MaskedPiecewiseLinearAutoregressiveTransform,
     MaskedPiecewiseQuadraticAutoregressiveTransform,
     MaskedPiecewiseRationalQuadraticAutoregressiveTransform,
+    MaskedPiecewiseLinearRationalAutoregressiveTransform,
 )
 from nflows_tpu.transforms.base import (
     CompositeTransform,
@@ -24,6 +25,7 @@ from nflows_tpu.transforms.coupling import (
     PiecewiseLinearCouplingTransform,
     PiecewiseQuadraticCouplingTransform,
     PiecewiseRationalQuadraticCouplingTransform,
+    PiecewiseLinearRationalCouplingTransform,
     UMNNCouplingTransform,
 )
 from nflows_tpu.transforms.nonlinearities import (
@@ -39,6 +41,7 @@ from nflows_tpu.transforms.nonlinearities import (
     PiecewiseLinearCDF,
     PiecewiseQuadraticCDF,
     PiecewiseRationalQuadraticCDF,
+    PiecewiseLinearRationalCDF,
     Sigmoid,
     Tanh,
 )

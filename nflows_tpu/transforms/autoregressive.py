@@ -27,6 +27,7 @@ __all__ = [
     "MaskedPiecewiseQuadraticAutoregressiveTransform",
     "MaskedPiecewiseCubicAutoregressiveTransform",
     "MaskedPiecewiseRationalQuadraticAutoregressiveTransform",
+    "MaskedPiecewiseLinearRationalAutoregressiveTransform",
     "MaskedUMNNAutoregressiveTransform",
 ]
 
@@ -347,6 +348,82 @@ class MaskedPiecewiseRationalQuadraticAutoregressiveTransform(_MaskedPiecewiseAu
             min_bin_width=self.min_bin_width,
             min_bin_height=self.min_bin_height,
             min_derivative=self.min_derivative,
+            **kwargs,
+        )
+        return outputs, shapeutils.sum_except_batch(logabsdet)
+
+
+class MaskedPiecewiseLinearRationalAutoregressiveTransform(_MaskedPiecewiseAutoregressive):
+    """Linear-rational-spline AR transform (Dolatabadi et al. 2020,
+    arXiv:2001.05168) — beyond the reference library. Analytic linear
+    inverse per step; the ancestral inverse is still D sequential passes."""
+
+    num_bins: int = static()
+    tails: object = static()
+    tail_bound: float = static()
+    min_bin_width: float = static()
+    min_bin_height: float = static()
+    min_derivative: float = static()
+    min_lambda: float = static()
+
+    def __init__(self, features, hidden_features, context_features=None,
+                 num_bins=10, tails=None, tail_bound=1.0, num_blocks=2,
+                 use_residual_blocks=True, random_mask=False, key=None,
+                 activation=jax.nn.relu, dropout_probability=0.0,
+                 use_batch_norm=False,
+                 min_bin_width=splines.linear_rational.DEFAULT_MIN_BIN_WIDTH,
+                 min_bin_height=splines.linear_rational.DEFAULT_MIN_BIN_HEIGHT,
+                 min_derivative=splines.linear_rational.DEFAULT_MIN_DERIVATIVE,
+                 min_lambda=splines.linear_rational.DEFAULT_MIN_LAMBDA):
+        self.num_bins = num_bins
+        self.tails = tails
+        self.tail_bound = tail_bound
+        self.min_bin_width = min_bin_width
+        self.min_bin_height = min_bin_height
+        self.min_derivative = min_derivative
+        self.min_lambda = min_lambda
+        self.features = features
+        super().__init__(_build_made(
+            features, hidden_features, context_features, num_blocks,
+            self._output_dim_multiplier(), use_residual_blocks, random_mask,
+            key, activation, dropout_probability, use_batch_norm,
+        ))
+
+    def _output_dim_multiplier(self):
+        if self.tails == "linear":
+            return self.num_bins * 4 - 1
+        elif self.tails is None:
+            return self.num_bins * 4 + 1
+        raise ValueError
+
+    def _elementwise(self, inputs, autoregressive_params, inverse=False):
+        transform_params = self._reshape_params(inputs, autoregressive_params)
+        K = self.num_bins
+        s = self._hidden_scale()
+        unnormalized_widths = transform_params[..., :K] * s
+        unnormalized_heights = transform_params[..., K: 2 * K] * s
+        unnormalized_lambdas = transform_params[..., 2 * K: 3 * K]
+        unnormalized_derivatives = transform_params[..., 3 * K:]
+
+        kwargs = {}
+        if self.tails is None:
+            spline_fn = splines.linear_rational_spline
+        elif self.tails == "linear":
+            spline_fn = splines.unconstrained_linear_rational_spline
+            kwargs = {"tails": self.tails, "tail_bound": self.tail_bound}
+        else:
+            raise ValueError
+        outputs, logabsdet = spline_fn(
+            inputs=inputs,
+            unnormalized_widths=unnormalized_widths,
+            unnormalized_heights=unnormalized_heights,
+            unnormalized_derivatives=unnormalized_derivatives,
+            unnormalized_lambdas=unnormalized_lambdas,
+            inverse=inverse,
+            min_bin_width=self.min_bin_width,
+            min_bin_height=self.min_bin_height,
+            min_derivative=self.min_derivative,
+            min_lambda=self.min_lambda,
             **kwargs,
         )
         return outputs, shapeutils.sum_except_batch(logabsdet)

@@ -35,6 +35,7 @@ __all__ = [
     "PiecewiseQuadraticCouplingTransform",
     "PiecewiseCubicCouplingTransform",
     "PiecewiseRationalQuadraticCouplingTransform",
+    "PiecewiseLinearRationalCouplingTransform",
     "UMNNCouplingTransform",
 ]
 
@@ -469,6 +470,87 @@ class PiecewiseRationalQuadraticCouplingTransform(PiecewiseCouplingTransform):
             min_bin_width=self.min_bin_width,
             min_bin_height=self.min_bin_height,
             min_derivative=self.min_derivative,
+            **kwargs,
+        )
+
+
+class PiecewiseLinearRationalCouplingTransform(PiecewiseCouplingTransform):
+    """Linear-rational-spline coupling (Dolatabadi et al. 2020,
+    arXiv:2001.05168) — a transform family BEYOND the reference library.
+    Same contract as the RQ coupling, with an extra per-bin split-point
+    parameter lambda and an analytic *linear* inverse
+    (ops/splines/linear_rational.py)."""
+
+    num_bins: int = static()
+    tails: object = static()
+    tail_bound: float = static()
+    min_bin_width: float = static()
+    min_bin_height: float = static()
+    min_derivative: float = static()
+    min_lambda: float = static()
+
+    def __init__(self, mask, transform_net_create_fn, num_bins=10, tails=None,
+                 tail_bound=1.0, apply_unconditional_transform=False,
+                 img_shape=None,
+                 min_bin_width=splines.linear_rational.DEFAULT_MIN_BIN_WIDTH,
+                 min_bin_height=splines.linear_rational.DEFAULT_MIN_BIN_HEIGHT,
+                 min_derivative=splines.linear_rational.DEFAULT_MIN_DERIVATIVE,
+                 min_lambda=splines.linear_rational.DEFAULT_MIN_LAMBDA):
+        self.num_bins = num_bins
+        self.tails = tails
+        self.tail_bound = tail_bound
+        self.min_bin_width = min_bin_width
+        self.min_bin_height = min_bin_height
+        self.min_derivative = min_derivative
+        self.min_lambda = min_lambda
+
+        if apply_unconditional_transform:
+            from nflows_tpu.transforms.nonlinearities import (
+                PiecewiseLinearRationalCDF,
+            )
+            unconditional_transform = lambda features: PiecewiseLinearRationalCDF(
+                shape=[features] + (list(img_shape) if img_shape else []),
+                num_bins=num_bins, tails=tails, tail_bound=tail_bound,
+                min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+                min_derivative=min_derivative, min_lambda=min_lambda,
+            )
+        else:
+            unconditional_transform = None
+        super().__init__(mask, transform_net_create_fn,
+                         unconditional_transform=unconditional_transform)
+
+    def _transform_dim_multiplier(self):
+        # widths K + heights K + lambdas K + derivatives (K-1 | K+1)
+        if self.tails == "linear":
+            return self.num_bins * 4 - 1
+        return self.num_bins * 4 + 1
+
+    def _piecewise_cdf(self, inputs, transform_params, inverse=False):
+        K = self.num_bins
+        unnormalized_widths = transform_params[..., :K]
+        unnormalized_heights = transform_params[..., K: 2 * K]
+        unnormalized_lambdas = transform_params[..., 2 * K: 3 * K]
+        unnormalized_derivatives = transform_params[..., 3 * K:]
+        unnormalized_widths, unnormalized_heights = self._softmax_rescale(
+            unnormalized_widths, unnormalized_heights
+        )
+        kwargs = {}
+        if self.tails is None:
+            spline_fn = splines.linear_rational_spline
+        else:
+            spline_fn = splines.unconstrained_linear_rational_spline
+            kwargs = {"tails": self.tails, "tail_bound": self.tail_bound}
+        return spline_fn(
+            inputs=inputs,
+            unnormalized_widths=unnormalized_widths,
+            unnormalized_heights=unnormalized_heights,
+            unnormalized_derivatives=unnormalized_derivatives,
+            unnormalized_lambdas=unnormalized_lambdas,
+            inverse=inverse,
+            min_bin_width=self.min_bin_width,
+            min_bin_height=self.min_bin_height,
+            min_derivative=self.min_derivative,
+            min_lambda=self.min_lambda,
             **kwargs,
         )
 

@@ -28,6 +28,7 @@ __all__ = [
     "GatedLinearUnit", "CauchyCDF", "CauchyCDFInverse", "CompositeCDFTransform",
     "PiecewiseLinearCDF", "PiecewiseQuadraticCDF", "PiecewiseCubicCDF",
     "PiecewiseRationalQuadraticCDF",
+    "PiecewiseLinearRationalCDF",
 ]
 
 _sum = shapeutils.sum_except_batch
@@ -247,6 +248,78 @@ class CompositeCDFTransform(CompositeTransform):
         super().__init__(
             [squashing_transform, cdf_transform, InverseTransform(squashing_transform)]
         )
+
+
+class PiecewiseLinearRationalCDF(Transform):
+    """Elementwise learned linear-rational-spline CDF (Dolatabadi et al.
+    2020, arXiv:2001.05168) — beyond the reference library; the LRS
+    counterpart of PiecewiseRationalQuadraticCDF."""
+
+    unnormalized_widths: jnp.ndarray
+    unnormalized_heights: jnp.ndarray
+    unnormalized_derivatives: jnp.ndarray
+    unnormalized_lambdas: jnp.ndarray
+    tails: object = static()
+    tail_bound: float = static()
+    min_bin_width: float = static()
+    min_bin_height: float = static()
+    min_derivative: float = static()
+    min_lambda: float = static()
+
+    def __init__(self, shape, num_bins=10, tails=None, tail_bound=1.0,
+                 min_bin_width=splines.linear_rational.DEFAULT_MIN_BIN_WIDTH,
+                 min_bin_height=splines.linear_rational.DEFAULT_MIN_BIN_HEIGHT,
+                 min_derivative=splines.linear_rational.DEFAULT_MIN_DERIVATIVE,
+                 min_lambda=splines.linear_rational.DEFAULT_MIN_LAMBDA,
+                 key=None):
+        from nflows_tpu.nn.primitives import ensure_key
+        key = ensure_key(key)
+        keys = jax.random.split(key, 4)
+        self.tails = tails
+        self.tail_bound = tail_bound
+        self.min_bin_width = min_bin_width
+        self.min_bin_height = min_bin_height
+        self.min_derivative = min_derivative
+        self.min_lambda = min_lambda
+
+        if isinstance(shape, int):
+            shape = (shape,)
+        shape = tuple(shape)
+        num_derivatives = (num_bins - 1) if tails == "linear" else (num_bins + 1)
+        self.unnormalized_widths = jax.random.uniform(keys[0], (*shape, num_bins))
+        self.unnormalized_heights = jax.random.uniform(keys[1], (*shape, num_bins))
+        self.unnormalized_derivatives = jax.random.uniform(
+            keys[2], (*shape, num_derivatives))
+        self.unnormalized_lambdas = jax.random.uniform(
+            keys[3], (*shape, num_bins), minval=-0.5, maxval=0.5)
+
+    def _spline(self, inputs, inverse=False):
+        batch_size = inputs.shape[0]
+        w = _share_across_batch(self.unnormalized_widths, batch_size)
+        h = _share_across_batch(self.unnormalized_heights, batch_size)
+        d = _share_across_batch(self.unnormalized_derivatives, batch_size)
+        lam = _share_across_batch(self.unnormalized_lambdas, batch_size)
+        kwargs = {}
+        if self.tails is None:
+            spline_fn = splines.linear_rational_spline
+        else:
+            spline_fn = splines.unconstrained_linear_rational_spline
+            kwargs = {"tails": self.tails, "tail_bound": self.tail_bound}
+        outputs, logabsdet = spline_fn(
+            inputs=inputs, unnormalized_widths=w, unnormalized_heights=h,
+            unnormalized_derivatives=d, unnormalized_lambdas=lam,
+            inverse=inverse, min_bin_width=self.min_bin_width,
+            min_bin_height=self.min_bin_height,
+            min_derivative=self.min_derivative, min_lambda=self.min_lambda,
+            **kwargs,
+        )
+        return outputs, _sum(logabsdet)
+
+    def forward(self, inputs, context=None):
+        return self._spline(inputs, inverse=False)
+
+    def inverse(self, inputs, context=None):
+        return self._spline(inputs, inverse=True)
 
 
 def _share_across_batch(params, batch_size):

@@ -17,3 +17,7 @@ from nflows_tpu.transforms.splines.rational_quadratic import (
     rational_quadratic_spline,
     unconstrained_rational_quadratic_spline,
 )
+from nflows_tpu.transforms.splines.linear_rational import (
+    linear_rational_spline,
+    unconstrained_linear_rational_spline,
+)
