@@ -98,7 +98,7 @@ def main():
     for i in range(args.steps):
         state, metrics = step_fn(state, prep(next(loader)))
         if (i + 1) % 1000 == 0:
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])  # value fetch = sound fence (BASELINE.md)
             rate = (i + 1) / (time.time() - t0)
             logger.log(i + 1, loss=metrics["loss"], steps_per_s=rate)
             print(f"step {i+1:6d}  nll {float(metrics['loss']):.4f}  "

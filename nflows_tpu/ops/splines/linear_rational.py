@@ -45,6 +45,9 @@ from nflows_tpu.ops import binning
 __all__ = [
     "linear_rational_spline",
     "unconstrained_linear_rational_spline",
+    "DEFAULT_MIN_BIN_WIDTH",
+    "DEFAULT_MIN_BIN_HEIGHT",
+    "DEFAULT_MIN_DERIVATIVE",
     "DEFAULT_MIN_LAMBDA",
 ]
 
@@ -133,27 +136,27 @@ def linear_rational_spline(
         # sanitize each piece's input into its own range (double-where)
         y_a = jnp.minimum(y, ym)
         y_b = jnp.maximum(y, ym)
-        theta_a = lam * (y_a - y0) / (wm * (ym - y_a) + (y_a - y0))
-        den_b = wm * (ym - y_b) + wb * (y_b - y1)
-        theta_b = (wm * (ym - y_b) + wb * lam * (y_b - y1)) / den_b
-        theta = jnp.where(use_a, theta_a, theta_b)
-        outputs = x0 + theta * w
+        theta_a_inv = lam * (y_a - y0) / (wm * (ym - y_a) + (y_a - y0))
+        den_b_inv = wm * (ym - y_b) + wb * (y_b - y1)
+        theta_b_inv = (wm * (ym - y_b) + wb * lam * (y_b - y1)) / den_b_inv
+        theta = jnp.where(use_a, theta_a_inv, theta_b_inv)
     else:
         theta = (inputs - x0) / w
         use_a = theta <= lam
-        theta_a = jnp.minimum(theta, lam)
-        theta_b = jnp.maximum(theta, lam)
-        den_a = (lam - theta_a) + wm * theta_a
-        den_b = wm * (1.0 - theta_b) + wb * (theta_b - lam)
-        out_a = (y0 * (lam - theta_a) + wm * ym * theta_a) / den_a
-        out_b = (wm * ym * (1.0 - theta_b) + wb * y1 * (theta_b - lam)) / den_b
-        outputs = jnp.where(use_a, out_a, out_b)
 
-    # |dy/dx| at theta (same formulas either direction)
+    # single piece-sanitized evaluation serves output AND logabsdet
     theta_a = jnp.minimum(theta, lam)
     theta_b = jnp.maximum(theta, lam)
     den_a = (lam - theta_a) + wm * theta_a
     den_b = wm * (1.0 - theta_b) + wb * (theta_b - lam)
+
+    if inverse:
+        outputs = x0 + theta * w
+    else:
+        out_a = (y0 * (lam - theta_a) + wm * ym * theta_a) / den_a
+        out_b = (wm * ym * (1.0 - theta_b) + wb * y1 * (theta_b - lam)) / den_b
+        outputs = jnp.where(use_a, out_a, out_b)
+
     log_deriv_a = (
         jnp.log(wm) + jnp.log(lam) + jnp.log(ym - y0)
         - 2.0 * jnp.log(den_a) - jnp.log(w)

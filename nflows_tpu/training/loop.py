@@ -15,8 +15,6 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterable, Optional
 
-import jax
-
 from nflows_tpu.training.checkpoint import CheckpointManager
 from nflows_tpu.training.train import TrainState
 from nflows_tpu.utils.observability import MetricLogger
@@ -69,7 +67,9 @@ def run_training(
         else:
             state, metrics = step_fn(state, batch)
         if (i + 1) % log_every == 0:
-            jax.block_until_ready(metrics["loss"])
+            # value fetch, not block_until_ready: the latter is not a sound
+            # execution fence on remote backends (benchmarks/_timing.py)
+            metrics = {k: float(v) for k, v in metrics.items()}
             rate = (i + 1 - start) / (time.time() - t0)
             logger.log(i + 1, steps_per_s=rate, **metrics)
         if mgr is not None and (i + 1) % checkpoint_every == 0:
@@ -77,7 +77,7 @@ def run_training(
 
     if mgr is not None:
         if metrics is not None:
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])  # drain before the final save
         mgr.save(int(state.step), state)
         mgr.close()
     return state

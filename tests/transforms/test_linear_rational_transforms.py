@@ -82,17 +82,19 @@ def test_nsf_style_flow_trains():
     from nflows_tpu.distributions import StandardNormal
     from nflows_tpu.flows.base import Flow
     from nflows_tpu.training import create_train_state, make_train_step
-    from nflows_tpu.transforms import CompositeTransform, ReversePermutation
+    from nflows_tpu.transforms import CompositeTransform
     from nflows_tpu.utils.datasets import make_moons
 
     layers = []
     for i in range(3):
-        layers.append(ReversePermutation(2))
+        # NOTE: no permutation — mask alternation does the swapping (a
+        # ReversePermutation here would cancel the alternating mask signs
+        # and leave one coordinate untransformed)
         layers.append(PiecewiseLinearRationalCouplingTransform(
             mask=np.array([1, -1]) * (1 if i % 2 else -1),
-            transform_net_create_fn=lambda i_, o_: ResidualNet(
+            transform_net_create_fn=lambda i_, o_, _k=i: ResidualNet(
                 i_, o_, hidden_features=24, num_blocks=1,
-                key=jax.random.key(7)),
+                key=jax.random.key(7 + _k)),
             num_bins=6, tails="linear", tail_bound=3.0))
     flow = Flow(CompositeTransform(layers), StandardNormal([2]))
 
