@@ -20,7 +20,10 @@ from nflows_tpu.flows.base import Flow
 from nflows_tpu.nn import nets
 from nflows_tpu.nn.primitives import ensure_key
 from nflows_tpu.transforms.base import CompositeTransform
-from nflows_tpu.transforms.coupling import PiecewiseRationalQuadraticCouplingTransform
+from nflows_tpu.transforms.coupling import (
+    PiecewiseLinearRationalCouplingTransform,
+    PiecewiseRationalQuadraticCouplingTransform,
+)
 from nflows_tpu.transforms.permutations import RandomPermutation, ReversePermutation
 from nflows_tpu.utils.masks import create_alternating_binary_mask
 
@@ -28,13 +31,14 @@ __all__ = ["NeuralSplineFlow"]
 
 
 class NeuralSplineFlow(Flow):
-    """RQ-NSF (coupling) for tabular data."""
+    """NSF (coupling) for tabular data: RQ splines by default, or the
+    linear-rational family (``spline="lrs"``, beyond the reference)."""
 
     def __init__(self, features, hidden_features, num_layers=10,
                  num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
                  context_features=None, use_random_permutations=True,
                  key=None, activation=jax.nn.relu, dropout_probability=0.0,
-                 batch_norm_within_layers=False, rng=None):
+                 batch_norm_within_layers=False, rng=None, spline="rq"):
         key = ensure_key(key)
         keys = jax.random.split(key, num_layers)
         if rng is None:
@@ -63,7 +67,13 @@ class NeuralSplineFlow(Flow):
                     use_batch_norm=batch_norm_within_layers,
                 )
 
-            layers.append(PiecewiseRationalQuadraticCouplingTransform(
+            if spline == "rq":
+                coupling_cls = PiecewiseRationalQuadraticCouplingTransform
+            elif spline == "lrs":  # linear-rational (beyond the reference)
+                coupling_cls = PiecewiseLinearRationalCouplingTransform
+            else:
+                raise ValueError(f"spline must be 'rq' or 'lrs', got {spline!r}")
+            layers.append(coupling_cls(
                 mask=create_alternating_binary_mask(features, even=bool(i % 2)),
                 transform_net_create_fn=create_net,
                 num_bins=num_bins,

@@ -33,3 +33,22 @@ class TestNeuralSplineFlowAR:
         step = make_train_step(opt, donate=False)
         state, m = step(state, x)
         assert np.isfinite(float(m["loss"]))
+
+
+def test_nsf_lrs_variant():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nflows_tpu.models import NeuralSplineFlow
+
+    flow = NeuralSplineFlow(features=3, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            spline="lrs", key=jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)),
+                    dtype=jnp.float32)
+    lp = flow.log_prob(x)
+    assert lp.shape == (16,) and bool(jnp.all(jnp.isfinite(lp)))
+    s, slp = flow.sample_and_log_prob(jax.random.key(1), 32)
+    np.testing.assert_allclose(np.asarray(slp),
+                               np.asarray(flow.log_prob(s)), atol=5e-3)
