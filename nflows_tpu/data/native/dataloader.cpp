@@ -155,6 +155,11 @@ void* nflows_loader_create(const float* data, const float* context,
                            int64_t n, int64_t dim, int64_t cdim,
                            int64_t batch, uint64_t seed, int num_workers,
                            int capacity, int drop_last) {
+  if (drop_last != 0 && batch > n) {
+    // the producer could never assemble a full batch: it would spin
+    // reshuffling forever while Next() blocks — reject at creation
+    return nullptr;
+  }
   return new Loader(data, context, n, dim, cdim, batch, seed, num_workers,
                     capacity, drop_last != 0);
 }
