@@ -40,13 +40,24 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     """
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape") else x,
-        template,
-    )
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, abstract)
+        return ckptr.restore(path, _abstract_like(template))
+
+
+def _abstract_like(template):
+    """ShapeDtypeStructs carrying the template's shardings, so a restore
+    onto a mesh (DP/TP-sharded TrainState) lands each leaf already laid out
+    across the devices instead of replicated on host."""
+
+    def leaf(x):
+        if not hasattr(x, "shape"):
+            return x
+        sharding = getattr(x, "sharding", None)
+        if isinstance(sharding, jax.sharding.NamedSharding):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    return jax.tree_util.tree_map(leaf, template)
 
 
 class CheckpointManager:
@@ -75,12 +86,8 @@ class CheckpointManager:
         import orbax.checkpoint as ocp
         if step is None:
             step = self._mgr.latest_step()
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x,
-            template,
-        )
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_abstract_like(template)))
 
     def close(self):
         self._mgr.close()
