@@ -11,6 +11,7 @@ from nflows_tpu.parallel.pipeline import (
     make_pipelined_transform,
     stack_transforms,
 )
+from nflows_tpu.parallel.smc import make_sharded_smc
 from nflows_tpu.parallel.train import (
     apply_tensor_parallelism,
     make_gspmd_train_step,
