@@ -90,6 +90,12 @@ def _global_logsumexp(log_w, axis_name):
     return global_max + jnp.log(global_sum)
 
 
+def _global_ess(log_w, axis_name):
+    """Effective sample size across the mesh: (sum w)^2 / sum w^2."""
+    log_norm = _global_logsumexp(log_w, axis_name)
+    return jnp.exp(2.0 * log_norm - _global_logsumexp(2.0 * log_w, axis_name))
+
+
 def sharded_importance_weights(flow, target_log_prob: Callable, mesh: Mesh,
                                num_samples_per_device: int):
     """Build ``f(flow, key) -> (samples, normalized_weights, log_Z)``.

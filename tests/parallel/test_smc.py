@@ -64,3 +64,28 @@ def test_smc_matches_single_device(mesh):
     z1 = float(run1(flow, jax.random.key(2))["log_z"])
     assert abs(z8 - z1) < 0.15, (z8, z1)
     assert abs(z8 - TRUE_LOG_Z) < 0.15
+
+
+def test_bimodal_target_unbiased_after_resampling(mesh):
+    """Mode weights survive per-shard resampling (the fix keeps each shard's
+    weight mass instead of flattening to global uniform — a flattening bug
+    would underweight the heavy mode)."""
+    VAR = 0.25
+
+    def tlp(x):  # unnormalized 0.7*N(-2, VAR) + 0.3*N(+2, VAR), 1-D
+        a = jnp.log(0.7) - 0.5 * (x[..., 0] + 2.0) ** 2 / VAR
+        b = jnp.log(0.3) - 0.5 * (x[..., 0] - 2.0) ** 2 / VAR
+        return jnp.logaddexp(a, b)
+
+    true_log_z = 0.5 * np.log(2 * np.pi * VAR)   # (0.7+0.3) * sqrt(2 pi VAR)
+    true_mean = 0.7 * (-2.0) + 0.3 * 2.0
+
+    flow = Flow(IdentityTransform(), StandardNormal([1]))
+    run = make_sharded_smc(tlp, mesh, num_chains_per_device=1024,
+                           num_temps=32, mcmc_steps=3, step_size=0.4,
+                           ess_threshold=0.7)  # force frequent resampling
+    out = run(flow, jax.random.key(3))
+    assert abs(float(out["log_z"]) - true_log_z) < 0.1
+    w = np.asarray(jax.nn.softmax(out["log_weights"]))
+    mean = float((w * np.asarray(out["samples"])[:, 0]).sum())
+    assert abs(mean - true_mean) < 0.25, mean
