@@ -189,6 +189,18 @@ def unconstrained_linear_rational_spline(
     if tails != "linear":
         raise NotImplementedError(f"{tails} tails are not implemented.")
 
+    if unnormalized_derivatives.shape[-1] == unnormalized_widths.shape[-1] - 1:
+        from nflows_tpu import config
+        if config.use_pallas_splines():
+            from nflows_tpu.ops.pallas.lrs_spline import lrs_spline_pallas
+            return lrs_spline_pallas(
+                inputs, unnormalized_widths, unnormalized_heights,
+                unnormalized_derivatives, unnormalized_lambdas,
+                inverse=inverse, tail_bound=tail_bound,
+                min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+                min_derivative=min_derivative, min_lambda=min_lambda,
+            )
+
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
 
     pad = [(0, 0)] * (unnormalized_derivatives.ndim - 1) + [(1, 1)]
