@@ -9,7 +9,8 @@ from __future__ import annotations
 import os
 
 _state = {
-    # Opt-in: route RQ-spline evaluation through the fused Pallas kernel.
+    # Opt-in: route RQ- and LRS-spline evaluation through the fused
+    # Pallas kernels.
     # Default False, from measurement (benchmarks/bench_pallas_rq.py,
     # TPU v5-lite): as a STANDALONE op the fused kernel beats XLA ~3x at
     # every size (3.2-3.7x, 16k-4M elements), but inside a full coupling
@@ -24,7 +25,7 @@ _state = {
 
 
 def use_pallas_splines(enable=None):
-    """Get/set whether RQ-spline evaluation uses the fused Pallas kernel."""
+    """Get/set whether RQ/LRS-spline evaluation uses the fused Pallas kernels."""
     if enable is not None:
         _state["use_pallas_splines"] = bool(enable)
         return _state["use_pallas_splines"]
