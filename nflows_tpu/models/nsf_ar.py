@@ -22,6 +22,7 @@ from nflows_tpu.transforms.autoregressive import (
     MaskedPiecewiseRationalQuadraticAutoregressiveTransform,
 )
 from nflows_tpu.transforms.base import CompositeTransform
+from nflows_tpu.transforms.lu import LULinear
 from nflows_tpu.transforms.permutations import RandomPermutation, ReversePermutation
 
 __all__ = ["NeuralSplineFlowAR"]
@@ -33,10 +34,14 @@ class NeuralSplineFlowAR(Flow):
     def __init__(self, features, hidden_features, num_layers=10,
                  num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
                  context_features=None, use_random_permutations=True,
+                 use_linear_layers=False,
                  key=None, activation=jax.nn.relu, dropout_probability=0.0,
                  batch_norm_within_layers=False, rng=None):
+        """``use_linear_layers=True`` interleaves invertible LU-decomposed
+        linear layers after each permutation — the NSF paper's AR
+        configuration for the UCI runs (arXiv:1906.04032 §3.2)."""
         key = ensure_key(key)
-        keys = jax.random.split(key, num_layers)
+        keys = jax.random.split(key, 2 * num_layers)
         if rng is None:
             # derive permutation/1x1-conv randomness from `key` so
             # different keys give different permutations, reproducibly
@@ -49,6 +54,9 @@ class NeuralSplineFlowAR(Flow):
                 layers.append(RandomPermutation(features, rng=rng))
             else:
                 layers.append(ReversePermutation(features))
+            if use_linear_layers:
+                layers.append(LULinear(features, identity_init=True,
+                                       key=keys[num_layers + i]))
             layers.append(MaskedPiecewiseRationalQuadraticAutoregressiveTransform(
                 features=features,
                 hidden_features=hidden_features,
