@@ -19,7 +19,6 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

@@ -14,17 +14,15 @@ transform chain on its shard with a device-unique PRNG fold.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from nflows_tpu.core.module import combine, partition
-from nflows_tpu.parallel.mesh import data_sharding, replicated
+from nflows_tpu.core.module import combine
+from nflows_tpu.parallel.mesh import data_sharding
 from nflows_tpu.training.train import TrainState, nll_loss
 
 __all__ = [
