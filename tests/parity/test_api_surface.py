@@ -76,6 +76,15 @@ def test_spline_functional_exported(name):
     assert hasattr(S, name), f"transforms.splines.{name} missing"
 
 
+def test_umnn_import_path():
+    # reference path: nflows.transforms.UMNN.MonotonicNormalizer
+    from nflows_tpu.transforms.UMNN import IntegrandNet, MonotonicNormalizer
+    from nflows_tpu.transforms.UMNN.MonotonicNormalizer import (
+        MonotonicNormalizer as M2,
+    )
+    assert MonotonicNormalizer is M2 and IntegrandNet is not None
+
+
 def test_version_module():
     # reference: nflows/version.py defines __version__ and VERSION
     from nflows_tpu.version import VERSION, __version__
