@@ -85,6 +85,14 @@ def test_umnn_import_path():
     assert MonotonicNormalizer is M2 and IntegrandNet is not None
 
 
+def test_reference_module_paths():
+    # paths reference users import from directly
+    from nflows_tpu.transforms.made import MADE  # transforms/made.py
+    from nflows_tpu.utils.torchutils import searchsorted, tile  # utils/torchutils.py
+    from nflows_tpu.utils.typechecks import is_positive_int
+    assert MADE and searchsorted and tile and is_positive_int
+
+
 def test_version_module():
     # reference: nflows/version.py defines __version__ and VERSION
     from nflows_tpu.version import VERSION, __version__
