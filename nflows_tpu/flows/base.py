@@ -73,13 +73,17 @@ class Flow(Distribution):
         embedded_context = self._embed(context)
         if self.context_used_in_base:
             noise = self.distribution.sample(key, num_samples, context=embedded_context)
-        else:
+        elif embedded_context is not None:
+            # context-free base under a conditional transform: independent
+            # noise per (context, sample) pair
             repeat_noise = self.distribution.sample(
                 key, num_samples * embedded_context.shape[0]
             )
             noise = repeat_noise.reshape(
                 embedded_context.shape[0], -1, *repeat_noise.shape[1:]
             )
+        else:
+            noise = self.distribution.sample(key, num_samples)
 
         if embedded_context is not None:
             noise = shapeutils.merge_leading_dims(noise, num_dims=2)
@@ -102,6 +106,17 @@ class Flow(Distribution):
             noise, log_prob = self.distribution.sample_and_log_prob(
                 key, num_samples, context=embedded_context
             )
+        elif embedded_context is not None:
+            # context-free base + conditional transform: the reference's
+            # path here is broken (flows/base.py:84-91 merges a noise array
+            # that has no context dim); draw per-(context, sample) noise and
+            # shape it [C, n, ...] so the merge/split below is consistent
+            num_ctx = embedded_context.shape[0]
+            flat_noise, flat_log_prob = self.distribution.sample_and_log_prob(
+                key, num_samples * num_ctx
+            )
+            noise = flat_noise.reshape(num_ctx, num_samples, *flat_noise.shape[1:])
+            log_prob = flat_log_prob.reshape(num_ctx, num_samples)
         else:
             noise, log_prob = self.distribution.sample_and_log_prob(key, num_samples)
 

@@ -1,8 +1,10 @@
 """Serving: ahead-of-time compiled, fixed-shape flow endpoints.
 
-For deployment, compile the three inference entry points once (AOT via
+For deployment, compile the inference entry points (AOT via
 ``jit(...).lower().compile()``) for fixed batch shapes, so serving never
 pays tracing/compilation at request time and rejects shape drift loudly.
+Each endpoint compiles lazily on first use (a process that only serves
+``log_prob`` pays one compile, not three).
 
     served = CompiledFlow(flow, batch_size=1024, features=6)
     lp = served.log_prob(x)                 # x: [1024, 6]
@@ -32,58 +34,115 @@ class CompiledFlow:
         self.features = features
         self.num_samples = num_samples or batch_size
         self.context_features = context_features
+        self._dtype = dtype
+        self._compiled = {}
 
-        x_spec = jax.ShapeDtypeStruct((batch_size, features), dtype)
+    # -- lazy AOT compilation ------------------------------------------------
+
+    def _specs(self):
+        x_spec = jax.ShapeDtypeStruct((self.batch_size, self.features),
+                                      self._dtype)
         key_spec = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+        c_spec = None
+        if self.context_features is not None:
+            c_spec = jax.ShapeDtypeStruct(
+                (self.batch_size, self.context_features), self._dtype)
+        return x_spec, key_spec, c_spec
 
-        if context_features is None:
-            self._log_prob = (
-                jax.jit(lambda f, x: f.log_prob(x))
-                .lower(flow, x_spec).compile()
-            )
-            self._sample = (
-                jax.jit(lambda f, k: f.sample(k, self.num_samples))
-                .lower(flow, key_spec).compile()
-            )
-            self._sample_and_log_prob = (
-                jax.jit(lambda f, k: f.sample_and_log_prob(k, self.num_samples))
-                .lower(flow, key_spec).compile()
-            )
+    def _get(self, name):
+        if name in self._compiled:
+            return self._compiled[name]
+        x_spec, key_spec, c_spec = self._specs()
+        n = self.num_samples
+        if c_spec is None:
+            builders = {
+                "log_prob": lambda: jax.jit(
+                    lambda f, x: f.log_prob(x)).lower(self._flow, x_spec),
+                "sample": lambda: jax.jit(
+                    lambda f, k: f.sample(k, n)).lower(self._flow, key_spec),
+                "sample_and_log_prob": lambda: jax.jit(
+                    lambda f, k: f.sample_and_log_prob(k, n)
+                ).lower(self._flow, key_spec),
+            }
         else:
-            c_spec = jax.ShapeDtypeStruct((batch_size, context_features), dtype)
-            self._log_prob = (
-                jax.jit(lambda f, x, c: f.log_prob(x, c))
-                .lower(flow, x_spec, c_spec).compile()
-            )
-            self._sample = (
-                jax.jit(lambda f, k, c: f.sample(k, self.num_samples, context=c))
-                .lower(flow, key_spec, c_spec).compile()
-            )
-            self._sample_and_log_prob = (
-                jax.jit(lambda f, k, c: f.sample_and_log_prob(
-                    k, self.num_samples, context=c))
-                .lower(flow, key_spec, c_spec).compile()
-            )
+            builders = {
+                "log_prob": lambda: jax.jit(
+                    lambda f, x, c: f.log_prob(x, c)
+                ).lower(self._flow, x_spec, c_spec),
+                "sample": lambda: jax.jit(
+                    lambda f, k, c: f.sample(k, n, context=c)
+                ).lower(self._flow, key_spec, c_spec),
+                "sample_and_log_prob": lambda: jax.jit(
+                    lambda f, k, c: f.sample_and_log_prob(k, n, context=c)
+                ).lower(self._flow, key_spec, c_spec),
+            }
+        compiled = builders[name]().compile()
+        self._compiled[name] = compiled
+        return compiled
 
-    def _check(self, x):
+    # -- request-time validation ----------------------------------------------
+
+    def _check_inputs(self, x):
         if x.shape != (self.batch_size, self.features):
             raise ValueError(
                 f"CompiledFlow expects inputs of shape "
                 f"{(self.batch_size, self.features)}, got {tuple(x.shape)}"
             )
 
-    def log_prob(self, inputs, context=None):
-        self._check(inputs)
+    def _check_context(self, context):
         if self.context_features is None:
-            return self._log_prob(self._flow, inputs)
-        return self._log_prob(self._flow, inputs, context)
+            if context is not None:
+                raise ValueError(
+                    "CompiledFlow was built without context_features but a "
+                    "context was passed — it would be silently ignored; "
+                    "rebuild with context_features=<dim>"
+                )
+            return
+        if context is None:
+            raise ValueError(
+                "CompiledFlow was built with "
+                f"context_features={self.context_features}; a context of "
+                f"shape {(self.batch_size, self.context_features)} is required"
+            )
+        expected = (self.batch_size, self.context_features)
+        if context.shape != expected:
+            raise ValueError(
+                f"CompiledFlow expects context of shape {expected}, got "
+                f"{tuple(context.shape)}"
+            )
+
+    @staticmethod
+    def _check_key(key):
+        if not jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
+            # accept legacy uint32[2] keys by converting them
+            key = jnp.asarray(key)
+            if key.dtype == jnp.uint32 and key.shape == (2,):
+                return jax.random.wrap_key_data(key)
+            raise TypeError(
+                "CompiledFlow endpoints take a jax.random.key()-style typed "
+                f"PRNG key (or a legacy PRNGKey uint32[2]); got {key!r}"
+            )
+        return key
+
+    # -- endpoints -------------------------------------------------------------
+
+    def log_prob(self, inputs, context=None):
+        self._check_inputs(inputs)
+        self._check_context(context)
+        if self.context_features is None:
+            return self._get("log_prob")(self._flow, inputs)
+        return self._get("log_prob")(self._flow, inputs, context)
 
     def sample(self, key, context=None):
+        key = self._check_key(key)
+        self._check_context(context)
         if self.context_features is None:
-            return self._sample(self._flow, key)
-        return self._sample(self._flow, key, context)
+            return self._get("sample")(self._flow, key)
+        return self._get("sample")(self._flow, key, context)
 
     def sample_and_log_prob(self, key, context=None) -> Tuple:
+        key = self._check_key(key)
+        self._check_context(context)
         if self.context_features is None:
-            return self._sample_and_log_prob(self._flow, key)
-        return self._sample_and_log_prob(self._flow, key, context)
+            return self._get("sample_and_log_prob")(self._flow, key)
+        return self._get("sample_and_log_prob")(self._flow, key, context)

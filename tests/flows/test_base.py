@@ -121,3 +121,50 @@ def test_log_prob_jitted_matches_eager():
     eager = flow.log_prob(x)
     jitted = jax.jit(lambda f, z: f.log_prob(z))(flow, x)
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
+
+
+def test_sample_context_free_base_no_context():
+    """Regression: context_used_in_base=False + no context crashed on
+    embedded_context.shape (inherited reference bug, flows/base.py:56)."""
+    import jax
+    import numpy as np
+
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.transforms import IdentityTransform
+
+    flow = Flow(IdentityTransform(), StandardNormal([2]),
+                context_used_in_base=False)
+    s = flow.sample(jax.random.key(0), 8)
+    assert s.shape == (8, 2)
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_sample_and_log_prob_conditional_transform_context_free_base():
+    """Regression: conditional transform over a context-free base corrupted
+    shapes in sample_and_log_prob (reference flows/base.py:84-91 is broken
+    the same way; fixed here)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.transforms import MaskedAffineAutoregressiveTransform
+
+    t = MaskedAffineAutoregressiveTransform(
+        features=2, hidden_features=16, context_features=3,
+        key=jax.random.key(0))
+    flow = Flow(t, StandardNormal([2]), context_used_in_base=False)
+    assert not flow.context_used_in_base
+    ctx = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)),
+                      dtype=jnp.float32)
+    s, lp = flow.sample_and_log_prob(jax.random.key(1), 4, context=ctx)
+    assert s.shape == (5, 4, 2) and lp.shape == (5, 4)
+    # consistency with log_prob
+    flat = s.reshape(-1, 2)
+    rep_ctx = jnp.repeat(ctx, 4, axis=0)
+    lp2 = flow.log_prob(flat, context=rep_ctx).reshape(5, 4)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=5e-3)
+    # distinct noise per (context, sample)
+    assert not np.allclose(np.asarray(s[0]), np.asarray(s[1]))

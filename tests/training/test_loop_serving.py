@@ -79,3 +79,27 @@ def test_compiled_flow_conditional():
     assert lp.shape == (16,)
     s = served.sample(jax.random.key(3), c)
     assert s.shape == (16, 4, 2)
+
+
+def test_compiled_flow_context_validation():
+    """Regression: a passed context was silently dropped when the wrapper
+    was built without context_features."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from nflows_tpu.flows import SimpleRealNVP
+    from nflows_tpu.serving import CompiledFlow
+
+    flow = SimpleRealNVP(features=2, hidden_features=8, num_layers=1,
+                         num_blocks_per_layer=1, key=jax.random.key(0))
+    served = CompiledFlow(flow, batch_size=4, features=2)
+    x = jnp.zeros((4, 2))
+    with pytest.raises(ValueError, match="silently ignored"):
+        served.log_prob(x, context=jnp.zeros((4, 1)))
+    # legacy PRNGKey accepted via conversion
+    s = served.sample(jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(s)))
+    with pytest.raises(TypeError, match="PRNG key"):
+        served.sample(np.zeros(3))
