@@ -573,14 +573,21 @@ class UMNNCouplingTransform(CouplingTransform):
                  key=None):
         from nflows_tpu.transforms.umnn import MonotonicNormalizer
         if apply_unconditional_transform:
-            raise NotImplementedError(
-                "apply_unconditional_transform is not supported for UMNN "
-                "coupling (the reference's path is also non-functional: it "
-                "passes a context where the normalizer expects conditioner "
-                "embeddings)."
+            # a cond_size=0 MonotonicNormalizer on the identity half — the
+            # reference's configuration (coupling.py:171-173), packaged as a
+            # proper Transform (umnn.py:UnconditionalMonotonicTransform)
+            from nflows_tpu.transforms.umnn import (
+                UnconditionalMonotonicTransform,
             )
+            unconditional_transform = lambda features: (
+                UnconditionalMonotonicTransform(
+                    features, integrand_net_layers=integrand_net_layers,
+                    nb_steps=nb_steps, solver=solver, key=key))
+        else:
+            unconditional_transform = None
         self.cond_size = cond_size
-        super().__init__(mask, transform_net_create_fn, unconditional_transform=None)
+        super().__init__(mask, transform_net_create_fn,
+                         unconditional_transform=unconditional_transform)
         self.transformer = MonotonicNormalizer(
             list(integrand_net_layers), cond_size, nb_steps, solver, key=key
         )

@@ -24,10 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.transforms.base import Transform
 from nflows_tpu.core.module import Module, static
 from nflows_tpu.nn.primitives import Dense, ensure_key
 
-__all__ = ["IntegrandNet", "MonotonicNormalizer", "cc_nodes_weights"]
+__all__ = ["IntegrandNet", "MonotonicNormalizer",
+           "UnconditionalMonotonicTransform", "cc_nodes_weights"]
 
 
 def cc_nodes_weights(num_steps: int):
@@ -108,7 +110,8 @@ class MonotonicNormalizer(Module):
         """Returns (z, jac) with jac = f(x, h) = dz/dx
         (reference MonotonicNormalizer.py:49-64)."""
         x0 = jnp.zeros_like(x)
-        z0 = h[:, :, 0]
+        # cond_size=0 (unconditional normalizer): no offset channel
+        z0 = h[:, :, 0] if h.shape[-1] > 0 else jnp.zeros_like(x)
         integral, f_end = self._integrate(x0, x, h)
         return integral + z0, f_end
 
@@ -132,3 +135,34 @@ class MonotonicNormalizer(Module):
 
         x_min, x_max = jax.lax.fori_loop(0, 25, body, (x_min, x_max))
         return (x_max + x_min) / 2.0
+
+
+class UnconditionalMonotonicTransform(Transform):
+    """A MonotonicNormalizer with cond_size=0 packaged as a Transform — the
+    analogue of the reference's ``apply_unconditional_transform=True`` path
+    for UMNN couplings (reference coupling.py:171-173, which builds a
+    ``MonotonicNormalizer(integrand_net_layers, 0, ...)`` for the identity
+    half). Per-feature monotone map, no conditioning."""
+
+    normalizer: MonotonicNormalizer
+    features: int = static()
+
+    def __init__(self, features, integrand_net_layers=(50, 50, 50),
+                 nb_steps=20, solver="CCParallel", key=None):
+        self.features = features
+        self.normalizer = MonotonicNormalizer(
+            list(integrand_net_layers), 0, nb_steps=nb_steps, solver=solver,
+            key=key)
+
+    def _h(self, x):
+        return jnp.zeros((*x.shape, 0), dtype=x.dtype)
+
+    def forward(self, inputs, context=None):
+        z, jac = self.normalizer.forward(inputs, self._h(inputs))
+        return z, jnp.sum(jnp.log(jac), axis=tuple(range(1, inputs.ndim)))
+
+    def inverse(self, inputs, context=None):
+        h = self._h(inputs)
+        x = self.normalizer.inverse_transform(inputs, h)
+        _, jac = self.normalizer.forward(x, h)
+        return x, -jnp.sum(jnp.log(jac), axis=tuple(range(1, inputs.ndim)))

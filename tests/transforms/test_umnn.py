@@ -75,11 +75,29 @@ def test_umnn_autoregressive_forward():
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-3)
 
 
-def test_umnn_unconditional_transform_rejected():
+def test_umnn_unconditional_transform():
+    """The identity half goes through a cond_size=0 MonotonicNormalizer
+    (reference coupling.py:171-173) and still round-trips."""
+    import jax
+    import jax.numpy as jnp
+
     mask = maskutils.create_alternating_binary_mask(DIM)
-    with pytest.raises(NotImplementedError):
-        UMNNCouplingTransform(mask, lambda i, o: None,
-                              apply_unconditional_transform=True)
+    def create_net(i, o):
+        return ResidualNet(i, o, hidden_features=16, key=jax.random.key(3))
+
+    t = UMNNCouplingTransform(
+        mask, create_net, integrand_net_layers=[16, 16], cond_size=3,
+        nb_steps=12, apply_unconditional_transform=True,
+        key=jax.random.key(0))
+    assert t.unconditional_transform is not None
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, DIM)),
+                    dtype=jnp.float32)
+    y, lad = t.forward(x)
+    # identity half is now transformed too
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+    x_rec, lad_inv = t.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lad + lad_inv), 0.0, atol=5e-3)
 
 
 def test_umnn_coupling_image_roundtrip():
