@@ -146,3 +146,69 @@ def test_gspmd_step_preserves_tp_sharding(mesh_tp):
     ref_step = make_train_step(optimizer, donate=False)
     state_ref, m_ref = ref_step(state_ref, jnp.asarray(X))
     np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), atol=1e-5)
+
+
+def test_dp_batchnorm_matches_single_device(mesh):
+    """Global-batch BatchNorm under explicit shard_map DP: with the batch
+    split 8 ways, each device would otherwise normalize with its 32-row
+    shard statistics. set_stats_axis (wired into make_sharded_train_step)
+    pmean's the moments over ICI so DP training matches single-device
+    global-batch training exactly (reference semantics:
+    nflows/transforms/normalization.py:87-111 on the full batch)."""
+    flow = SimpleRealNVP(features=2, hidden_features=16, num_layers=2,
+                         num_blocks_per_layer=1, key=jax.random.key(3),
+                         batch_norm_within_layers=True,
+                         batch_norm_between_layers=True)
+    # SGD, not Adam: Adam's m/sqrt(v) rescaling amplifies float
+    # reduction-order noise (~1e-7) to lr-scale param diffs, masking what
+    # this test is about — stats semantics. With SGD, shard-LOCAL stats
+    # would diverge by O(1); global stats agree to float tolerance.
+    optimizer = optax.sgd(1e-2)
+    # non-iid shard layout: sort by x so shard statistics differ wildly
+    X, _ = make_moons(256, noise=0.1, rng=np.random.default_rng(3))
+    X = X[np.argsort(X[:, 0])]
+    batch = jnp.asarray(X)
+
+    state_single = create_train_state(flow, optimizer)
+    step_single = make_train_step(optimizer, donate=False)
+    state_dp = create_train_state(flow, optimizer)
+    step_dp = make_sharded_train_step(optimizer, mesh, donate=False)
+    batch_dp = shard_batch(batch, mesh)
+
+    for _ in range(5):
+        state_single, m_single = step_single(state_single, batch)
+        state_dp, m_dp = step_dp(state_dp, batch_dp)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_dp["loss"]), atol=1e-5
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(state_single.params),
+                    jax.tree_util.tree_leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_batchnorm_running_stats_global(mesh):
+    """update_running_stats under the mapped axis uses global moments."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from nflows_tpu.core.module import set_stats_axis
+    from nflows_tpu.transforms.normalization import BatchNorm
+
+    bn = BatchNorm(features=2)
+    X = np.asarray(
+        np.random.default_rng(7).normal(size=(256, 2)) * [1.0, 3.0] + [2.0, -1.0],
+        dtype=np.float32,
+    )
+    X = X[np.argsort(X[:, 0])]  # make shards non-iid
+
+    def local_update(bn, x):
+        return set_stats_axis(bn, "data").update_running_stats(x)
+
+    sharded = shard_map(local_update, mesh=mesh, in_specs=(P(), P("data")),
+                        out_specs=P(), check_vma=False)
+    updated = sharded(bn, jnp.asarray(X))
+    expected = bn.update_running_stats(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(updated.running_mean),
+                               np.asarray(expected.running_mean), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(updated.running_var),
+                               np.asarray(expected.running_var), atol=1e-5)

@@ -93,6 +93,14 @@ def test_reference_module_paths():
     assert MADE and searchsorted and tile and is_positive_int
 
 
+def test_nde_made_module_path():
+    # reference path: nflows/nn/nde/made.py
+    from nflows_tpu.nn.nde.made import MixtureOfGaussiansMADE
+    from nflows_tpu.nn.nde import MixtureOfGaussiansMADE as M2
+    from nflows_tpu.nn import MixtureOfGaussiansMADE as M3
+    assert MixtureOfGaussiansMADE is M2 is M3
+
+
 def test_version_module():
     # reference: nflows/version.py defines __version__ and VERSION
     from nflows_tpu.version import VERSION, __version__
