@@ -38,7 +38,8 @@ class NeuralSplineFlow(Flow):
                  num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
                  context_features=None, use_random_permutations=True,
                  key=None, activation=jax.nn.relu, dropout_probability=0.0,
-                 batch_norm_within_layers=False, rng=None, spline="rq"):
+                 batch_norm_within_layers=False, rng=None, spline="rq",
+                 stacked=False):
         key = ensure_key(key)
         keys = jax.random.split(key, num_layers)
         if rng is None:
@@ -46,6 +47,14 @@ class NeuralSplineFlow(Flow):
             # different keys give different permutations, reproducibly
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(key)).ravel())
+
+        if stacked and features % 2:
+            # odd feature counts alternate 3/4 - 4/3 splits: leaf shapes
+            # differ between layers, so the scan-stacked layout can't apply
+            raise ValueError(
+                "stacked=True requires an even feature count (alternating "
+                "masks must give identical split shapes in every layer)."
+            )
 
         layers = []
         for i in range(num_layers):
@@ -81,7 +90,21 @@ class NeuralSplineFlow(Flow):
                 tail_bound=tail_bound,
             ))
 
+        if stacked:
+            # one [permutation, coupling] group per layer, stacked leaf-wise
+            # into a single lax.scan chain: the compiled program contains the
+            # conditioner once instead of num_layers times (same numerics as
+            # the unrolled CompositeTransform — tests/transforms/test_stacked.py)
+            from nflows_tpu.transforms.stacked import stack_transforms
+            groups = [
+                CompositeTransform(layers[2 * i: 2 * i + 2])
+                for i in range(num_layers)
+            ]
+            transform = stack_transforms(groups)
+        else:
+            transform = CompositeTransform(layers)
+
         super().__init__(
-            transform=CompositeTransform(layers),
+            transform=transform,
             distribution=StandardNormal([features]),
         )

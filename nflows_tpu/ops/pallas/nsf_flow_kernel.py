@@ -1,0 +1,336 @@
+"""Whole-flow fused Pallas kernel for tabular NSF coupling flows.
+
+The XLA sampling/log_prob path for an L-layer RQ-NSF flow streams every
+intermediate activation ([N, hidden] per conditioner GEMM) through HBM —
+at large N the chain is HBM-bandwidth-bound (measured ~18 TFLOPS effective
+on the 10x256 flagship, BASELINE.md). This kernel runs the ENTIRE
+transform chain — all L x [permutation, RQ coupling(ResidualNet
+conditioner)] layers — in one ``pallas_call``:
+
+- **Layout**: samples ride the TPU *lanes*; the kernel state is x^T
+  [D, R] per grid tile (R samples). All conditioner GEMMs become
+  W^T @ h ([H, H] x [H, R]) with stationary weights; the elementwise
+  spline operates on [T, R] slices (T = transformed features/layer) at
+  full lane utilization.
+- **Weights resident in VMEM, loaded once**: the stacked per-layer
+  weights (~0.56 MB per 256-wide layer in bf16) are kernel inputs pinned
+  to HBM and DMA'd into persistent VMEM *scratch* on the first grid step —
+  single-buffered (BlockSpec'd inputs would be double-buffered and blow
+  the 16 MB VMEM). HBM traffic per pass is ~(x in + x out + weights once)
+  instead of ~6 activations x L.
+- **Unrolled layers, sliced weight refs**: the L layers unroll at trace
+  time with static per-layer row indices; every GEMM slices exactly its
+  weight matrix out of the scratch ref (``wb_v[l, j]``). Loading a whole
+  stacked array (``wb_v[...]``) as one value would pin megabytes live on
+  the Mosaic stack for the entire kernel — the failure mode that
+  originally blew the 16 MB VMEM budget (measured 19.25 MB scoped).
+- **Static gathers**: permutations, coupling splits and merges are
+  composed host-side into per-layer static row lists; in-kernel they are
+  unrolled 1-row slices + concat (D is small), which Mosaic lowers to
+  sublane shuffles — no dynamic gather anywhere.
+- **Precision**: GEMMs run in the dtype the weights were extracted in
+  (bf16 by default, matching the bf16-MXU training configuration) with
+  fp32 accumulation; spline math and the logabsdet are fp32.
+
+The spline math mirrors ops/pallas/rq_spline.py (full-width where,
+unrolled K); reference semantics: nflows/transforms/coupling.py:502-582 +
+nflows/transforms/splines/rational_quadratic.py:66-181.
+
+Extraction from a model (weight re-layout, softmax 1/sqrt(H) folding,
+K-major param reordering, selection-matrix construction) lives in
+``nsf_fused.py``; this module is the raw kernel.
+
+Gradients: inference-only — training uses the autodiff'd XLA chain; this
+kernel exists to win sampling/evaluation throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nsf_flow_kernel_call", "LANES_DEFAULT"]
+
+LANES_DEFAULT = 1024  # samples per grid tile
+
+
+def _dot(w, h, out_dtype=jnp.float32):
+    """MXU GEMM with fp32 accumulation; w sets the compute dtype."""
+    return jax.lax.dot_general(
+        w, h.astype(w.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype,
+    )
+
+
+def _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+                 num_blocks, H, TM):
+    """ResidualNet forward in transposed layout: [Tid, R] -> [TM, R].
+
+    Matches nn/nets/resnet.py:ResidualNet with relu activation, no
+    context/batch-norm/dropout (reference nn/nets/resnet.py:55-100).
+
+    All weight stacks are FLATTENED 2-D refs ([L*H, in] etc.) addressed
+    with static row-range slices, for two reasons: (1) loading a whole
+    stacked array (``wb_v[...]``) as one value pins megabytes live on the
+    Mosaic stack for the entire kernel (measured 19.25 MB scoped VMEM);
+    (2) per-layer slicing of >2-D refs hung the Mosaic compiler on this
+    toolchain — static dim-0 range slices of 2-D refs lower robustly.
+    """
+    def w(ref, i, rows):
+        return ref[i * rows:(i + 1) * rows, :]
+
+    nb = 2 * num_blocks
+    h = _dot(w(w0_v, l, H), identity) + w(b0_v, l, H)
+    for j in range(num_blocks):
+        t = jnp.maximum(h, 0.0)
+        t = _dot(w(wb_v, l * nb + 2 * j, H), t) + w(bb_v, l * nb + 2 * j, H)
+        t = jnp.maximum(t, 0.0)
+        t = _dot(w(wb_v, l * nb + 2 * j + 1, H), t) + w(bb_v, l * nb + 2 * j + 1, H)
+        h = h + t
+    return _dot(w(wf_v, l, TM), h) + w(bf_v, l, TM)
+
+
+def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
+                  min_bin_width, min_bin_height, min_derivative):
+    """Unconstrained (linear-tail) RQ spline on [T, R] tensors.
+
+    ``P`` is [TM, R], K-major: rows [j*T:(j+1)*T] hold param j for all T
+    features — widths j<K, heights K<=j<2K, interior derivatives
+    2K<=j<3K-1. Boundary derivatives are exactly 1 (min_derivative +
+    softplus(boundary constant), reference rational_quadratic.py:37-42).
+    Returns (out [T, R], logabsdet [T, R]).
+    """
+    K = num_bins
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    def slice_j(j):
+        return P[j * T:(j + 1) * T]
+
+    def normalize(vals, min_size):
+        vmax = vals[0]
+        for v in vals[1:]:
+            vmax = jnp.maximum(vmax, v)
+        exps = [jnp.exp(v - vmax) for v in vals]
+        total = exps[0]
+        for e in exps[1:]:
+            total = total + e
+        inv_total = 1.0 / total
+        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+
+    widths = normalize([slice_j(j) for j in range(K)], min_bin_width)
+    heights = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
+
+    def edges_of(bins):
+        edges = [jnp.full_like(x, -B)]
+        run = jnp.zeros_like(x)
+        for k in range(K):
+            run = run + bins[k]
+            edges.append(2.0 * B * run - B)
+        edges[-1] = jnp.full_like(x, B)
+        return edges
+
+    edge_w = edges_of(widths)
+    edge_h = edges_of(heights)
+    bin_w = [edge_w[k + 1] - edge_w[k] for k in range(K)]
+    bin_h = [edge_h[k + 1] - edge_h[k] for k in range(K)]
+
+    one = jnp.ones_like(x)
+    derivs = [one] + [
+        min_derivative + jnp.logaddexp(slice_j(2 * K + j), 0.0)
+        for j in range(K - 1)
+    ] + [one]
+
+    search_edges = edge_h if inverse else edge_w
+    idx = jnp.zeros_like(x, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + (x >= search_edges[k]).astype(jnp.int32)
+
+    sel_xw, sel_xh = bin_w[0], bin_h[0]
+    sel_cw, sel_ch = edge_w[0], edge_h[0]
+    sel_d0, sel_d1 = derivs[0], derivs[1]
+    for k in range(1, K):
+        m = idx == k
+        sel_xw = jnp.where(m, bin_w[k], sel_xw)
+        sel_xh = jnp.where(m, bin_h[k], sel_xh)
+        sel_cw = jnp.where(m, edge_w[k], sel_cw)
+        sel_ch = jnp.where(m, edge_h[k], sel_ch)
+        sel_d0 = jnp.where(m, derivs[k], sel_d0)
+        sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
+
+    delta = sel_xh / sel_xw
+    d_sum = sel_d0 + sel_d1 - 2.0 * delta
+
+    if inverse:
+        y_rel = x - sel_ch
+        a = y_rel * d_sum + sel_xh * (delta - sel_d0)
+        b = sel_xh * sel_d0 - y_rel * d_sum
+        c = -delta * y_rel
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        theta = (2.0 * c) / (-b - jnp.sqrt(disc))
+        out = theta * sel_xw + sel_cw
+    else:
+        theta = (x - sel_cw) / sel_xw
+        num = sel_xh * (delta * theta * theta + sel_d0 * theta * (1.0 - theta))
+        den = delta + d_sum * theta * (1.0 - theta)
+        out = sel_ch + num / den
+
+    tomt = theta * (1.0 - theta)
+    denominator = delta + d_sum * tomt
+    deriv_num = delta * delta * (
+        sel_d1 * theta * theta + 2.0 * delta * tomt
+        + sel_d0 * (1.0 - theta) * (1.0 - theta)
+    )
+    lad = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
+    if inverse:
+        lad = -lad
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+def _take_rows(x, rows):
+    """Static sublane gather: x[list_of_rows, :] via 1-row slices+concat."""
+    return jnp.concatenate([x[r:r + 1] for r in rows], axis=0)
+
+
+def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
+            out_ref, lad_ref,
+            w0_v, b0_v, wb_v, bb_v, wf_v, bf_v, dma_sems, *,
+            layer_indices, num_bins, num_blocks, inverse, H, TM, spline_kw):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Load all layer weights HBM -> persistent VMEM scratch once (step 0).
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        pairs = ((w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
+                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v))
+        dmas = [
+            pltpu.make_async_copy(src, dst, dma_sems.at[i])
+            for i, (src, dst) in enumerate(pairs)
+        ]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+    L = len(layer_indices)
+    x = x_ref[...].astype(jnp.float32)      # [D, R]
+    lad_total = jnp.zeros((1, x.shape[1]), dtype=jnp.float32)
+
+    order = range(L - 1, -1, -1) if inverse else range(L)
+    for l in order:
+        li = layer_indices[l]
+        T = len(li.tr_idx)
+        if inverse:
+            identity = _take_rows(x, li.id_idx)
+            transform = _take_rows(x, li.tr_idx)
+        else:
+            identity = _take_rows(x, li.id_rows)
+            transform = _take_rows(x, li.tr_rows)
+
+        P = _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+                         num_blocks, H, TM)
+        out, lad = _rq_spline_TR(
+            transform, P, num_bins=num_bins, T=T, inverse=inverse,
+            **spline_kw,
+        )
+        lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
+        both = jnp.concatenate([identity, out], axis=0)
+        x = _take_rows(both, li.merge_inv if inverse else li.merge_fwd)
+
+    out_ref[...] = x
+    lad_ref[...] = lad_total
+
+
+def nsf_flow_kernel_call(
+    x_t: jnp.ndarray,                 # [D, N] fp32, N multiple of lanes
+    w0: jnp.ndarray,                  # [L, H, Tid]   (pre-transposed)
+    b0: jnp.ndarray,                  # [L, H, 1] fp32
+    wb: jnp.ndarray,                  # [L, 2*num_blocks, H, H] (pre-transposed)
+    bb: jnp.ndarray,                  # [L, 2*num_blocks, H, 1] fp32
+    wf: jnp.ndarray,                  # [L, TM, H] (pre-transposed, K-major
+    bf: jnp.ndarray,                  #  rows, softmax scale folded in)
+    layer_indices,                    # tuple of NSFLayerIndices (static)
+    *,
+    inverse: bool,
+    num_bins: int,
+    num_blocks: int,
+    tail_bound: float,
+    min_bin_width: float,
+    min_bin_height: float,
+    min_derivative: float,
+    lanes: int = LANES_DEFAULT,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused chain. Returns (y_t [D, N], logabsdet [1, N])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, N = x_t.shape
+    L, H, _ = w0.shape
+    TM = wf.shape[1]
+    if N % lanes:
+        raise ValueError(f"N={N} must be a multiple of lanes={lanes}")
+    grid = (N // lanes,)
+
+    # flatten stacks to 2-D for the in-kernel static row-range addressing
+    w0 = w0.reshape(L * H, -1)
+    b0 = b0.reshape(L * H, 1)
+    wb = wb.reshape(-1, H)
+    bb = bb.reshape(-1, 1)
+    wf = wf.reshape(L * TM, H)
+    bf = bf.reshape(L * TM, 1)
+
+    kernel = functools.partial(
+        _kernel,
+        layer_indices=tuple(layer_indices),
+        num_bins=num_bins,
+        num_blocks=num_blocks,
+        inverse=inverse,
+        H=H,
+        TM=TM,
+        spline_kw=dict(
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative,
+        ),
+    )
+
+    # weights pinned to HBM (BlockSpec'd VMEM inputs would be
+    # double-buffered) and DMA'd to single-buffered scratch once
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+
+    out, lad = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            hbm, hbm, hbm, hbm, hbm, hbm,
+        ],
+        out_specs=[
+            pl.BlockSpec((D, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(w0.shape, w0.dtype),
+            pltpu.VMEM(b0.shape, b0.dtype),
+            pltpu.VMEM(wb.shape, wb.dtype),
+            pltpu.VMEM(bb.shape, bb.dtype),
+            pltpu.VMEM(wf.shape, wf.dtype),
+            pltpu.VMEM(bf.shape, bf.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(x_t, w0, b0, wb, bb, wf, bf)
+    return out, lad

@@ -51,6 +51,7 @@ from nflows_tpu.transforms.permutations import (
     RandomPermutation,
     ReversePermutation,
 )
+from nflows_tpu.transforms.stacked import StackedTransform, stack_transforms
 from nflows_tpu.transforms.standard import (
     AffineScalarTransform,
     AffineTransform,

@@ -1,0 +1,131 @@
+"""Stacked homogeneous transform chains: ``lax.scan`` over layer-stacked
+parameters.
+
+A deep flow is usually L repetitions of the SAME layer structure
+(permutation + coupling, or permutation + autoregressive). The reference
+executes such chains as a Python loop of L module calls
+(nflows/transforms/base.py:45-52); ``CompositeTransform`` keeps that shape
+(unrolled at trace time). :class:`StackedTransform` is the TPU-native
+alternative: the L layers' parameter pytrees are stacked leaf-wise into one
+``[L, ...]`` pytree and the chain runs as a single ``lax.scan`` whose body
+is ONE layer — the compiled program contains each conditioner GEMM once
+instead of L times.
+
+Why this matters on TPU:
+
+- **Compile time / program size** drop by ~L for deep chains (XLA traces
+  and schedules one layer body instead of L copies).
+- The scanned body keeps the same MXU shapes every iteration, so weight
+  layouts stay resident and the loop runs back-to-back on device.
+- The stacked ``[L, ...]`` parameter layout is exactly what the fused
+  Pallas whole-flow kernels (ops/pallas/nsf_megakernel.py) and
+  pipeline-parallel stage splitting consume.
+
+Semantics are IDENTICAL to ``CompositeTransform(layers)`` — verified
+leaf-for-leaf in tests/transforms/test_stacked.py, including gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nflows_tpu.transforms.base import Transform
+
+__all__ = ["StackedTransform", "stack_transforms"]
+
+
+def _assert_stackable(layers):
+    treedefs = {jax.tree_util.tree_structure(l) for l in layers}
+    if len(treedefs) != 1:
+        raise ValueError(
+            "StackedTransform requires homogeneous layers (identical pytree "
+            f"structure and static config); got {len(treedefs)} distinct "
+            "structures. Use CompositeTransform for heterogeneous chains."
+        )
+    shapes = [
+        tuple(jnp.shape(x) for x in jax.tree_util.tree_leaves(l))
+        for l in layers
+    ]
+    if len(set(shapes)) != 1:
+        raise ValueError(
+            "StackedTransform requires identical leaf shapes across layers "
+            "(e.g. the same coupling split and conditioner width)."
+        )
+
+
+class StackedTransform(Transform):
+    """L homogeneous transforms executed as one ``lax.scan``.
+
+    Construct from per-layer instances with :func:`stack_transforms` (or
+    directly from an already-stacked module). ``forward`` scans layer
+    0..L-1; ``inverse`` scans in reverse with each layer's inverse —
+    exactly ``CompositeTransform`` semantics.
+    """
+
+    stacked: Transform          # every array leaf has leading dim L
+
+    def __init__(self, stacked: Transform):
+        self.stacked = stacked
+
+    @property
+    def num_layers(self) -> int:
+        leaves = jax.tree_util.tree_leaves(self.stacked)
+        return int(leaves[0].shape[0]) if leaves else 0
+
+    def layer(self, i: int) -> Transform:
+        """Materialize layer ``i`` as a standalone transform."""
+        return jax.tree_util.tree_map(lambda x: x[i], self.stacked)
+
+    def layers(self):
+        return [self.layer(i) for i in range(self.num_layers)]
+
+    def forward(self, inputs, context=None):
+        def body(carry, layer):
+            x, lad = carry
+            y, ld = layer.forward(x, context)
+            return (y, lad + ld), None
+
+        init = (inputs, jnp.zeros(inputs.shape[0], dtype=inputs.dtype))
+        (outputs, logabsdet), _ = jax.lax.scan(body, init, self.stacked)
+        return outputs, logabsdet
+
+    def inverse(self, inputs, context=None):
+        def body(carry, layer):
+            x, lad = carry
+            y, ld = layer.inverse(x, context)
+            return (y, lad + ld), None
+
+        init = (inputs, jnp.zeros(inputs.shape[0], dtype=inputs.dtype))
+        (outputs, logabsdet), _ = jax.lax.scan(
+            body, init, self.stacked, reverse=True
+        )
+        return outputs, logabsdet
+
+    def initialize_with_data(self, inputs, context=None):
+        # data-dependent init is inherently sequential and host-driven:
+        # unstack, initialize layer by layer, restack
+        new_layers = []
+        outputs = inputs
+        for layer in self.layers():
+            layer, outputs = layer.initialize_with_data(outputs, context)
+            new_layers.append(layer)
+        return stack_transforms(new_layers), outputs
+
+
+def stack_transforms(layers: Sequence[Transform]) -> StackedTransform:
+    """Stack L homogeneous transforms into a :class:`StackedTransform`.
+
+    Each layer is typically itself a small ``CompositeTransform`` (e.g.
+    [RandomPermutation, PiecewiseRationalQuadraticCouplingTransform]) — any
+    structure works as long as every layer has the same treedef, statics,
+    and leaf shapes.
+    """
+    layers = list(layers)
+    if not layers:
+        raise ValueError("Need at least one layer to stack.")
+    _assert_stackable(layers)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return StackedTransform(stacked)

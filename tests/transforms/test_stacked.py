@@ -1,0 +1,131 @@
+"""StackedTransform (lax.scan over layer-stacked params) must match the
+unrolled CompositeTransform exactly — outputs, logabsdet, and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nflows_tpu.core.module import combine, partition
+from nflows_tpu.models import NeuralSplineFlow
+from nflows_tpu.transforms import (
+    CompositeTransform,
+    MaskedAffineAutoregressiveTransform,
+    ReversePermutation,
+    StackedTransform,
+    stack_transforms,
+)
+
+
+def _nsf_pair(features=6, num_layers=4, hidden=32, seed=0):
+    kw = dict(features=features, hidden_features=hidden, num_layers=num_layers,
+              num_blocks_per_layer=2, num_bins=4, tail_bound=3.0,
+              key=jax.random.key(seed))
+    unrolled = NeuralSplineFlow(rng=np.random.default_rng(seed), **kw)
+    stacked = NeuralSplineFlow(rng=np.random.default_rng(seed), stacked=True, **kw)
+    return unrolled, stacked
+
+
+def test_nsf_stacked_matches_unrolled_forward_inverse():
+    unrolled, stacked = _nsf_pair()
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(32, 6)),
+                    dtype=jnp.float32)
+
+    yu, ldu = unrolled.transform.forward(x)
+    ys, lds = stacked.transform.forward(x)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(ys), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldu), np.asarray(lds), atol=1e-5)
+
+    xu, ldiu = unrolled.transform.inverse(yu)
+    xs, ldis = stacked.transform.inverse(yu)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(xs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldiu), np.asarray(ldis), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x), atol=1e-4)
+
+
+def test_nsf_stacked_log_prob_and_sample():
+    unrolled, stacked = _nsf_pair()
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(16, 6)),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(unrolled.log_prob(x)), np.asarray(stacked.log_prob(x)),
+        atol=1e-5)
+    su = unrolled.sample(jax.random.key(3), 64)
+    ss = stacked.sample(jax.random.key(3), 64)
+    np.testing.assert_allclose(np.asarray(su), np.asarray(ss), atol=1e-5)
+
+
+def test_nsf_stacked_gradients_match():
+    unrolled, stacked = _nsf_pair(num_layers=3)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(24, 6)),
+                    dtype=jnp.float32)
+
+    def loss(params, rest):
+        return -jnp.mean(combine(params, rest).log_prob(x))
+
+    pu, ru = partition(unrolled)
+    ps, rs = partition(stacked)
+    lu, gu = jax.value_and_grad(loss)(pu, ru)
+    ls, gs = jax.value_and_grad(loss)(ps, rs)
+    np.testing.assert_allclose(float(lu), float(ls), atol=1e-6)
+
+    # stacked grads: layer-stacked leaves; compare layer slices to unrolled
+    gs_layers = [jax.tree_util.tree_map(lambda a: a[i], gs.transform.stacked)
+                 for i in range(3)]
+    gu_layers = gu.transform.transforms
+    for i in range(3):
+        a = jax.tree_util.tree_leaves(gs_layers[i])
+        b = jax.tree_util.tree_leaves(gu_layers[2 * i: 2 * i + 2])
+        assert len(a) == len(b)
+        for la, lb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-5)
+
+
+def test_stack_transforms_generic_maf_chain():
+    keys = jax.random.split(jax.random.key(0), 4)
+    groups = [
+        CompositeTransform([
+            ReversePermutation(4),
+            MaskedAffineAutoregressiveTransform(
+                features=4, hidden_features=16, key=keys[i]),
+        ])
+        for i in range(4)
+    ]
+    stacked = stack_transforms(groups)
+    unrolled = CompositeTransform(groups)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(8, 4)),
+                    dtype=jnp.float32)
+    yu, ldu = unrolled.forward(x)
+    ys, lds = stacked.forward(x)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(ys), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldu), np.asarray(lds), atol=1e-6)
+    xu, _ = unrolled.inverse(yu)
+    xs, _ = stacked.inverse(yu)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(xs), atol=1e-5)
+
+
+def test_stack_transforms_rejects_heterogeneous():
+    keys = jax.random.split(jax.random.key(0), 2)
+    with pytest.raises(ValueError):
+        stack_transforms([
+            MaskedAffineAutoregressiveTransform(features=4, hidden_features=16,
+                                                key=keys[0]),
+            MaskedAffineAutoregressiveTransform(features=4, hidden_features=32,
+                                                key=keys[1]),
+        ])
+    with pytest.raises(ValueError):
+        NeuralSplineFlow(features=5, hidden_features=16, num_layers=2,
+                         key=jax.random.key(0), stacked=True)
+
+
+def test_stacked_layer_roundtrip():
+    _, stacked = _nsf_pair(num_layers=3)
+    st = stacked.transform
+    assert isinstance(st, StackedTransform)
+    assert st.num_layers == 3
+    relayered = stack_transforms(st.layers())
+    a = jax.tree_util.tree_leaves(st)
+    b = jax.tree_util.tree_leaves(relayered)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
