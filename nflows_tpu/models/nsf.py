@@ -108,3 +108,22 @@ class NeuralSplineFlow(Flow):
             transform=transform,
             distribution=StandardNormal([features]),
         )
+
+    def fused(self, dtype=None, lanes=1024, interpret=None):
+        """Megakernel-backed inference view of this flow.
+
+        Returns a :class:`~nflows_tpu.ops.pallas.nsf_fused.FusedNSF` whose
+        ``sample`` / ``log_prob`` / ``sample_and_log_prob`` / ``forward`` /
+        ``inverse`` run the ENTIRE transform chain as one Pallas kernel
+        (weights resident in VMEM, samples on lanes) — measured 1.5x the
+        XLA chain end-to-end on TPU (benchmarks/bench_fused_nsf.py).
+
+        Deliberately explicit rather than an automatic default: extraction
+        does one device->host pass over the weights, which only amortizes
+        when the SAME trained flow serves many inference calls (the
+        deployment pattern). ``dtype`` defaults to bf16 conditioner GEMMs —
+        the training precision; pass ``jnp.float32`` for full precision.
+        """
+        from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+        kwargs = {} if dtype is None else {"dtype": dtype}
+        return fuse_nsf(self, lanes=lanes, interpret=interpret, **kwargs)

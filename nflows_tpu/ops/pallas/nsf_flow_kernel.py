@@ -331,6 +331,11 @@ def nsf_flow_kernel_call(
             pltpu.VMEM(bf.shape, bf.dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # resident weights + per-layer temporaries exceed the 16 MB
+            # default scoped-vmem budget; v5e has headroom above it
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_t, w0, b0, wb, bb, wf, bf)
     return out, lad

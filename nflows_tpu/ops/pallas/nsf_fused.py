@@ -93,6 +93,10 @@ def _extract(flow, dtype):
 
     if not isinstance(flow.distribution, StandardNormal):
         raise ValueError("fused path requires a StandardNormal base")
+    # ONE pipelined device->host transfer up front: extraction reads ~7
+    # arrays per layer, and per-leaf np.asarray round-trips are ruinously
+    # slow through a remote-TPU tunnel (minutes for a 10-layer flow)
+    flow = jax.device_get(flow)
     pairs = _layer_groups(flow.transform)
 
     layer_indices = []

@@ -114,3 +114,11 @@ def test_errors(fused):
         fused.forward(jnp.ones((4, 6)), context=jnp.ones((4, 1)))
     with pytest.raises(ValueError):
         fused.sample(jax.random.key(0), 8, context=jnp.ones((2, 1)))
+
+
+def test_model_fused_method(flow):
+    fused = flow.fused(dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(16, 6)),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(flow.log_prob(x)),
+                               np.asarray(fused.log_prob(x)), atol=1e-4)
