@@ -156,26 +156,57 @@ def make_gspmd_train_step(
 # ---------------------------------------------------------------------------
 
 def tensor_parallel_sharding(flow, mesh: Mesh):
-    """Build a pytree of NamedShardings for ``flow``: conditioner
-    hidden-by-hidden Dense weights sharded over 'model', all else replicated.
+    """Build a pytree of NamedShardings for ``flow``: Megatron-style
+    column->row pairing over the conditioner hidden GEMMs, all else
+    replicated.
 
     Flows are narrow; TP pays off only for very wide conditioners
-    (SURVEY.md §2.6 marks TP optional). The rule used here: any 2-D weight
-    whose trailing dim is divisible by the model-axis size gets column
-    sharding P(None, 'model'); matching biases get P('model') when
-    divisible. XLA inserts the all-gathers/reduce-scatters over ICI.
+    (SURVEY.md §2.6 marks TP optional; tests/parallel/test_tp_evidence.py
+    machine-checks the 1/TP per-device param+optimizer memory win and the
+    collective placement). The rule is STRUCTURAL, not name-guessing: it
+    targets ``ResidualNet``/``MLP`` conditioners (nn/nets/) —
+
+    - ``initial_layer``:   column-shard P(None,'model'), bias P('model')
+      (activations come out 'model'-sharded);
+    - ``blocks[i].linear_0``: column-shard (consumes replicated residual
+      stream, produces sharded hidden);
+    - ``blocks[i].linear_1``: ROW-shard P('model',None), bias replicated —
+      partial sums meet in ONE all-reduce per block (the Megatron pattern),
+      so the residual stream stays replicated;
+    - ``final_layer``:     row-shard, bias replicated.
+
+    MADE's MaskedDense layers are left replicated: their masks encode the
+    autoregressive degree structure and column-sharding them would split
+    degrees arbitrarily. XLA places the all-reduces over ICI.
     """
     model_size = mesh.shape["model"]
+    col = NamedSharding(mesh, P(None, "model"))
+    row = NamedSharding(mesh, P("model", None))
+    vec = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
 
     def rule(path, leaf):
         if leaf is None or not hasattr(leaf, "ndim"):
             return None
-        name = path[-1].name if hasattr(path[-1], "name") else str(path[-1])
-        if leaf.ndim == 2 and name == "weight" and leaf.shape[-1] % model_size == 0:
-            return NamedSharding(mesh, P(None, "model"))
-        if leaf.ndim == 1 and name == "bias" and leaf.shape[0] % model_size == 0:
-            return NamedSharding(mesh, P("model"))
-        return NamedSharding(mesh, P())
+        names = [p.name for p in path if hasattr(p, "name")]
+        leafname = names[-1] if names else ""
+        if "mask" in names or any("masked" in n.lower() for n in names):
+            return rep
+        divisible = leaf.ndim >= 1 and all(
+            s % model_size == 0 for s in leaf.shape if s > 1
+        )
+        if leaf.ndim == 2 and leafname == "weight":
+            if leaf.shape[-1] % model_size == 0 and (
+                    "initial_layer" in names or "linear_0" in names):
+                return col
+            if leaf.shape[0] % model_size == 0 and (
+                    "linear_1" in names or "final_layer" in names):
+                return row
+            return rep
+        if leaf.ndim == 1 and leafname == "bias" and divisible and (
+                "initial_layer" in names or "linear_0" in names):
+            return vec
+        return rep
 
     return jax.tree_util.tree_map_with_path(rule, flow)
 

@@ -1,0 +1,123 @@
+"""TP evidence (round-1 VERDICT item 6): the Megatron column->row pairing
+must (a) actually cut per-device parameter/optimizer memory by 1/TP on the
+sharded leaves, (b) place cross-device collectives in the compiled step,
+and (c) keep numerics identical to TP=1."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nflows_tpu.flows import SimpleRealNVP
+from nflows_tpu.models import NeuralSplineFlow
+from nflows_tpu.parallel import (
+    apply_tensor_parallelism,
+    make_mesh,
+    shard_batch,
+)
+from nflows_tpu.parallel.train import (
+    make_gspmd_train_step,
+    tensor_parallel_sharding,
+)
+from nflows_tpu.training import create_train_state
+
+
+def _wide_flow(hidden=512, seed=0):
+    return NeuralSplineFlow(features=6, hidden_features=hidden, num_layers=2,
+                            num_blocks_per_layer=2, num_bins=4,
+                            key=jax.random.key(seed),
+                            rng=np.random.default_rng(seed))
+
+
+def _local_nbytes(tree):
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            # one device's shard size x devices it lives on, but we want
+            # PER-DEVICE: take shard 0's bytes (uniform shards)
+            total += leaf.addressable_shards[0].data.nbytes
+        elif hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+    return total
+
+
+def test_tp_cuts_per_device_param_and_opt_memory():
+    flow = _wide_flow()
+    mesh_tp = make_mesh(data=2, model=4)
+    flow_tp = apply_tensor_parallelism(flow, mesh_tp)
+
+    opt = optax.adam(1e-3)
+    state_rep = create_train_state(flow, opt)
+    state_tp = create_train_state(flow_tp, opt)
+    # optimizer state (adam mu/nu) must inherit the weight shardings
+    mu_tp = state_tp.opt_state[0].mu
+
+    def sharded_frac(tree):
+        sharded = rep = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if leaf is None or not hasattr(leaf, "sharding"):
+                continue
+            spec = getattr(leaf.sharding, "spec", None)
+            if spec is not None and "model" in str(spec):
+                sharded += leaf.nbytes
+            else:
+                rep += leaf.nbytes
+        return sharded, rep
+
+    sharded_bytes, rep_bytes = sharded_frac(state_tp.params)
+    # the conditioner hidden GEMMs dominate a wide flow: most bytes shard
+    assert sharded_bytes > 3 * rep_bytes, (sharded_bytes, rep_bytes)
+
+    # per-device memory of the TP state ~= rep + sharded/TP
+    per_dev_tp = _local_nbytes(state_tp.params)
+    per_dev_rep = _local_nbytes(state_rep.params)
+    expect = rep_bytes + sharded_bytes / 4
+    assert abs(per_dev_tp - expect) / per_dev_rep < 0.02, \
+        (per_dev_tp, expect, per_dev_rep)
+    assert per_dev_tp < 0.45 * per_dev_rep  # ~1/TP on the dominant mass
+
+    mu_sharded, _ = sharded_frac(mu_tp)
+    assert mu_sharded == sharded_bytes  # adam moments shard identically
+
+
+def test_tp_step_places_collectives_and_matches_tp1():
+    opt = optax.adam(1e-3)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(64, 6)),
+                    dtype=jnp.float32)
+
+    flow = _wide_flow(hidden=64)
+    mesh_tp = make_mesh(data=2, model=4)
+    flow_tp = apply_tensor_parallelism(flow, mesh_tp)
+    state_tp = create_train_state(flow_tp, opt)
+    step_tp = make_gspmd_train_step(opt, mesh_tp, donate=False)
+    compiled = step_tp.lower(state_tp, shard_batch(x, mesh_tp)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo, \
+        "TP step compiled without any cross-device reduction"
+
+    mesh_1 = make_mesh(data=8, model=1)
+    state_1 = create_train_state(flow, opt)
+    step_1 = make_gspmd_train_step(opt, mesh_1, donate=False)
+
+    for _ in range(3):
+        state_tp, m_tp = step_tp(state_tp, shard_batch(x, mesh_tp))
+        state_1, m_1 = step_1(state_1, shard_batch(x, mesh_1))
+        np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                                   atol=2e-5)
+
+
+def test_tp_leaves_made_masks_replicated():
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+
+    flow = MaskedAutoregressiveFlow(features=4, hidden_features=64,
+                                    num_layers=2, num_blocks_per_layer=1,
+                                    key=jax.random.key(0))
+    mesh_tp = make_mesh(data=2, model=4)
+    shardings = tensor_parallel_sharding(flow, mesh_tp)
+    for path, s in jax.tree_util.tree_leaves_with_path(
+            shardings, is_leaf=lambda x: x is None):
+        if s is None:
+            continue
+        names = [p.name for p in path if hasattr(p, "name")]
+        if any("made" in n.lower() or "masked" in n.lower() for n in names):
+            assert "model" not in str(s.spec), names
