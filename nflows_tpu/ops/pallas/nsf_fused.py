@@ -116,10 +116,9 @@ def _extract(flow, dtype):
             raise ValueError("conditioner must be a ResidualNet")
         if net.context_features is not None:
             raise ValueError("context not supported in the fused path")
-        if net.blocks and (net.blocks[0].batch_norm_0 is not None
-                           or net.blocks[0].dropout.rate != 0.0):
-            raise ValueError("batch-norm/dropout conditioners not fused")
         for blk in net.blocks:
+            if blk.batch_norm_0 is not None or blk.dropout.rate != 0.0:
+                raise ValueError("batch-norm/dropout conditioners not fused")
             if blk.activation is not jax.nn.relu:
                 raise ValueError("fused conditioner requires relu activation")
 

@@ -163,52 +163,100 @@ def tensor_parallel_sharding(flow, mesh: Mesh):
     Flows are narrow; TP pays off only for very wide conditioners
     (SURVEY.md §2.6 marks TP optional; tests/parallel/test_tp_evidence.py
     machine-checks the 1/TP per-device param+optimizer memory win and the
-    collective placement). The rule is STRUCTURAL, not name-guessing: it
-    targets ``ResidualNet``/``MLP`` conditioners (nn/nets/) —
+    collective placement). The rule walks the module tree by CLASS (not
+    field names, which MADE shares with ResidualNet):
 
-    - ``initial_layer``:   column-shard P(None,'model'), bias P('model')
-      (activations come out 'model'-sharded);
-    - ``blocks[i].linear_0``: column-shard (consumes replicated residual
-      stream, produces sharded hidden);
-    - ``blocks[i].linear_1``: ROW-shard P('model',None), bias replicated —
-      partial sums meet in ONE all-reduce per block (the Megatron pattern),
-      so the residual stream stays replicated;
-    - ``final_layer``:     row-shard, bias replicated.
+    - ``ResidualNet``: the residual stream stays REPLICATED throughout.
+      ``initial_layer``/``final_layer`` are the small [in,H]/[H,out]
+      matrices — replicated. Each block pairs ``linear_0`` column-sharded
+      P(...,'model') (bias P('model')) with ``linear_1`` ROW-sharded
+      P('model',...) (bias replicated): partial sums meet in exactly ONE
+      all-reduce per block (the Megatron pattern), and the H x H block
+      GEMMs are where the parameter mass is.
+    - ``MLP``: hidden layers alternate column/row the same way;
+      ``output_layer`` is row-sharded iff the stream arrives sharded.
+    - Anything inside ``MADE``/``MaskedDense`` is replicated: the masks
+      encode autoregressive degree structure and sharding them would
+      split degrees arbitrarily.
 
-    MADE's MaskedDense layers are left replicated: their masks encode the
-    autoregressive degree structure and column-sharding them would split
-    degrees arbitrarily. XLA places the all-reduces over ICI.
+    Works for scan-stacked flows too: ``[L, ...]``-stacked leaves get the
+    same specs with a leading replicated axis. Dims that don't divide the
+    model-axis size fall back to replicated. XLA places the all-reduces
+    over ICI.
     """
+    from nflows_tpu.core.module import Module
+    from nflows_tpu.nn.made import MADE, MaskedDense
+    from nflows_tpu.nn.nets.mlp import MLP
+    from nflows_tpu.nn.nets.resnet import ResidualBlock, ResidualNet
+
     model_size = mesh.shape["model"]
-    col = NamedSharding(mesh, P(None, "model"))
-    row = NamedSharding(mesh, P("model", None))
-    vec = NamedSharding(mesh, P("model"))
     rep = NamedSharding(mesh, P())
 
-    def rule(path, leaf):
-        if leaf is None or not hasattr(leaf, "ndim"):
-            return None
-        names = [p.name for p in path if hasattr(p, "name")]
-        leafname = names[-1] if names else ""
-        if "mask" in names or any("masked" in n.lower() for n in names):
-            return rep
-        divisible = leaf.ndim >= 1 and all(
-            s % model_size == 0 for s in leaf.shape if s > 1
+    def rep_tree(x):
+        return jax.tree_util.tree_map(lambda _: rep, x)
+
+    def dense_tree(dense, kind):
+        """Sharding pytree for a Dense (possibly [L, ...]-stacked)."""
+        w = dense.weight
+        pad = (None,) * (w.ndim - 2)           # leading stacked axes
+        if kind == "col" and w.shape[-1] % model_size == 0:
+            w_spec = NamedSharding(mesh, P(*pad, None, "model"))
+            b_spec = NamedSharding(mesh, P(*pad, "model"))
+        elif kind == "row" and w.shape[-2] % model_size == 0:
+            w_spec = NamedSharding(mesh, P(*pad, "model", None))
+            b_spec = rep
+        else:
+            w_spec, b_spec = rep, rep
+        return dense.replace(
+            weight=w_spec,
+            bias=None if dense.bias is None else b_spec,
         )
-        if leaf.ndim == 2 and leafname == "weight":
-            if leaf.shape[-1] % model_size == 0 and (
-                    "initial_layer" in names or "linear_0" in names):
-                return col
-            if leaf.shape[0] % model_size == 0 and (
-                    "linear_1" in names or "final_layer" in names):
-                return row
-            return rep
-        if leaf.ndim == 1 and leafname == "bias" and divisible and (
-                "initial_layer" in names or "linear_0" in names):
-            return vec
+
+    def block_tree(block: ResidualBlock):
+        updates = {f: rep_tree(getattr(block, f))
+                   for f in type(block)._child_fields}
+        updates["linear_0"] = dense_tree(block.linear_0, "col")
+        updates["linear_1"] = dense_tree(block.linear_1, "row")
+        return block.replace(**updates)
+
+    def walk(x):
+        if isinstance(x, (MADE, MaskedDense)):
+            return rep_tree(x)
+        if isinstance(x, ResidualNet):
+            updates = {f: walk(getattr(x, f)) for f in type(x)._child_fields}
+            updates["initial_layer"] = rep_tree(x.initial_layer)
+            updates["final_layer"] = rep_tree(x.final_layer)
+            updates["blocks"] = tuple(block_tree(b) for b in x.blocks)
+            return x.replace(**updates)
+        if isinstance(x, MLP):
+            hidden = []
+            sharded_stream = False
+            for layer in x.hidden_layers:
+                hidden.append(dense_tree(layer, "row" if sharded_stream
+                                         else "col"))
+                sharded_stream = not sharded_stream
+            return x.replace(
+                input_layer=rep_tree(x.input_layer),
+                hidden_layers=tuple(hidden),
+                output_layer=(dense_tree(x.output_layer, "row")
+                              if sharded_stream
+                              else rep_tree(x.output_layer)),
+            )
+        if isinstance(x, Module):
+            return x.replace(**{f: walk(getattr(x, f))
+                                for f in type(x)._child_fields})
+        if isinstance(x, (tuple, list)):
+            items = [walk(v) for v in x]
+            if hasattr(type(x), "_fields"):
+                return type(x)(*items)
+            return type(x)(items)
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        if x is None:
+            return None
         return rep
 
-    return jax.tree_util.tree_map_with_path(rule, flow)
+    return walk(flow)
 
 
 def apply_tensor_parallelism(flow, mesh: Mesh):

@@ -82,27 +82,48 @@ class StackedTransform(Transform):
     def layers(self):
         return [self.layer(i) for i in range(self.num_layers)]
 
-    def forward(self, inputs, context=None):
-        def body(carry, layer):
-            x, lad = carry
-            y, ld = layer.forward(x, context)
-            return (y, lad + ld), None
+    def _scan(self, inputs, context, reverse):
+        """Scan the layer stack; per-layer stochastic (dropout) keys ride
+        the scan xs — without them every layer would reuse the SAME key
+        (the scan body is traced once, so an ambient ``next_rng_key()``
+        draw would become a scan-invariant constant and correlate dropout
+        masks across depth)."""
+        from nflows_tpu.core.stochastic import (
+            has_stochastic_context,
+            next_rng_key,
+            stochastic,
+        )
 
+        method = "inverse" if reverse else "forward"
         init = (inputs, jnp.zeros(inputs.shape[0], dtype=inputs.dtype))
-        (outputs, logabsdet), _ = jax.lax.scan(body, init, self.stacked)
+
+        if has_stochastic_context():
+            keys = jax.random.split(next_rng_key(), self.num_layers)
+
+            def body(carry, xs):
+                layer, key = xs
+                x, lad = carry
+                with stochastic(key):
+                    y, ld = getattr(layer, method)(x, context)
+                return (y, lad + ld), None
+
+            (outputs, logabsdet), _ = jax.lax.scan(
+                body, init, (self.stacked, keys), reverse=reverse)
+        else:
+            def body(carry, layer):
+                x, lad = carry
+                y, ld = getattr(layer, method)(x, context)
+                return (y, lad + ld), None
+
+            (outputs, logabsdet), _ = jax.lax.scan(
+                body, init, self.stacked, reverse=reverse)
         return outputs, logabsdet
+
+    def forward(self, inputs, context=None):
+        return self._scan(inputs, context, reverse=False)
 
     def inverse(self, inputs, context=None):
-        def body(carry, layer):
-            x, lad = carry
-            y, ld = layer.inverse(x, context)
-            return (y, lad + ld), None
-
-        init = (inputs, jnp.zeros(inputs.shape[0], dtype=inputs.dtype))
-        (outputs, logabsdet), _ = jax.lax.scan(
-            body, init, self.stacked, reverse=True
-        )
-        return outputs, logabsdet
+        return self._scan(inputs, context, reverse=True)
 
     def initialize_with_data(self, inputs, context=None):
         # data-dependent init is inherently sequential and host-driven:

@@ -10,6 +10,10 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REFERENCE_PATH = "/root/reference"
+if not __import__("os").path.isdir(REFERENCE_PATH):
+    pytest.skip("reference bayesiains/nflows checkout not present "
+                "(CI runners have torch but no /root/reference)",
+                allow_module_level=True)
 DIM = 4
 
 

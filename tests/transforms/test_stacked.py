@@ -129,3 +129,50 @@ def test_stacked_layer_roundtrip():
     b = jax.tree_util.tree_leaves(relayered)
     for la, lb in zip(a, b):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_stacked_dropout_uses_distinct_per_layer_keys():
+    """Regression: the scan body is traced once, so an ambient dropout key
+    would be a scan-invariant constant — every layer would apply the SAME
+    mask. StackedTransform must thread per-layer keys through the scan;
+    semantics are pinned as: fold the ambient frame counter, split L ways,
+    one sub-frame per layer."""
+    from nflows_tpu.core.stochastic import stochastic
+
+    _, stacked = _nsf_pair(num_layers=3)
+    # rebuild with dropout active
+    kw = dict(features=6, hidden_features=32, num_layers=3,
+              num_blocks_per_layer=2, num_bins=4, tail_bound=3.0,
+              key=jax.random.key(0), dropout_probability=0.5)
+    flow = NeuralSplineFlow(rng=np.random.default_rng(0), stacked=True, **kw)
+    st = flow.transform
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(64, 6)),
+                    dtype=jnp.float32)
+    key = jax.random.key(42)
+
+    def run(z, k):
+        with stochastic(k):
+            return st.forward(z)
+
+    y1, ld1 = jax.jit(run)(x, key)
+    y2, ld2 = jax.jit(run)(x, key)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))  # deterministic
+
+    # manual replication of the documented key schedule
+    def run_manual(z, k):
+        keys = jax.random.split(jax.random.fold_in(k, 0), 3)
+        lad = jnp.zeros(z.shape[0], dtype=z.dtype)
+        for i in range(3):
+            layer = st.layer(i)
+            with stochastic(keys[i]):
+                z, ld = layer.forward(z)
+            lad = lad + ld
+        return z, lad
+
+    ym, ldm = jax.jit(run_manual)(x, key)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(ym), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ldm), atol=1e-5)
+
+    # and dropout must actually differ from the no-dropout path (masks on)
+    y_eval, _ = st.forward(x)
+    assert not np.allclose(np.asarray(y1), np.asarray(y_eval))
