@@ -28,7 +28,7 @@ class CompiledFlow:
     def __init__(self, flow, batch_size: int, features: int,
                  num_samples: Optional[int] = None,
                  context_features: Optional[int] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_fused: Optional[bool] = None):
         self._flow = flow
         self.batch_size = batch_size
         self.features = features
@@ -36,6 +36,26 @@ class CompiledFlow:
         self.context_features = context_features
         self._dtype = dtype
         self._compiled = {}
+
+        # Serving is the amortized-inference context, so the whole-flow
+        # Pallas megakernel (measured 1.5x the XLA chain on TPU —
+        # BASELINE.md round 2) is the DEFAULT here whenever the flow
+        # qualifies and a TPU is present; its one-time extraction cost is
+        # paid at CompiledFlow construction, exactly where AOT compiles
+        # already live. use_fused=False opts out (e.g. for bitwise
+        # comparison against the XLA chain); use_fused=True raises if the
+        # flow does not qualify.
+        self._fused = None
+        if use_fused is None:
+            from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf
+            from nflows_tpu.ops.pallas.rq_spline import pallas_available
+            use_fused = (context_features is None and pallas_available()
+                         and can_fuse_nsf(flow))
+        if use_fused:
+            from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+            if context_features is not None:
+                raise ValueError("fused serving path is context-free")
+            self._fused = fuse_nsf(flow)
 
     # -- lazy AOT compilation ------------------------------------------------
 
@@ -129,6 +149,8 @@ class CompiledFlow:
     def log_prob(self, inputs, context=None):
         self._check_inputs(inputs)
         self._check_context(context)
+        if self._fused is not None:
+            return self._fused.log_prob(inputs)
         if self.context_features is None:
             return self._get("log_prob")(self._flow, inputs)
         return self._get("log_prob")(self._flow, inputs, context)
@@ -136,6 +158,8 @@ class CompiledFlow:
     def sample(self, key, context=None):
         key = self._check_key(key)
         self._check_context(context)
+        if self._fused is not None:
+            return self._fused.sample(key, self.num_samples)
         if self.context_features is None:
             return self._get("sample")(self._flow, key)
         return self._get("sample")(self._flow, key, context)
@@ -143,6 +167,8 @@ class CompiledFlow:
     def sample_and_log_prob(self, key, context=None) -> Tuple:
         key = self._check_key(key)
         self._check_context(context)
+        if self._fused is not None:
+            return self._fused.sample_and_log_prob(key, self.num_samples)
         if self.context_features is None:
             return self._get("sample_and_log_prob")(self._flow, key)
         return self._get("sample_and_log_prob")(self._flow, key, context)

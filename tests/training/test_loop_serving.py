@@ -103,3 +103,37 @@ def test_compiled_flow_context_validation():
     assert np.all(np.isfinite(np.asarray(s)))
     with pytest.raises(TypeError, match="PRNG key"):
         served.sample(np.zeros(3))
+
+
+def test_compiled_flow_fused_path_matches_xla():
+    """Serving defaults to the whole-flow megakernel when the flow
+    qualifies; numerics must match the XLA endpoints (fp32 here)."""
+    import numpy as np
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.serving import CompiledFlow
+
+    flow = NeuralSplineFlow(features=6, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    xla = CompiledFlow(flow, batch_size=32, features=6, use_fused=False)
+    fused = CompiledFlow(flow, batch_size=32, features=6, use_fused=True)
+    assert fused._fused is not None
+    # bf16 extraction is the TPU default; for a CPU numerics check use fp32
+    from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+    fused._fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128,
+                            interpret=True)
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(32, 6)),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(xla.log_prob(x)),
+                               np.asarray(fused.log_prob(x)), atol=1e-4)
+    s_x = xla.sample(jax.random.key(2))
+    s_f = fused.sample(jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_f), atol=1e-4)
+
+    # a non-qualifying flow (context'd) must fall back, not crash
+    import pytest
+    with pytest.raises(ValueError):
+        CompiledFlow(flow, batch_size=8, features=6, context_features=2,
+                     use_fused=True)
