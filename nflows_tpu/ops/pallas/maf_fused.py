@@ -1,0 +1,206 @@
+"""Fused MAF inference path: extract a masked-affine-autoregressive flow
+into the whole-flow Pallas kernel (maf_flow_kernel.py).
+
+``fuse_maf(flow)`` validates the structure — L x [Permutation,
+MaskedAffineAutoregressiveTransform(residual MADE, relu, no
+context/dropout/batch-norm)] over a StandardNormal base (the
+``MaskedAutoregressiveFlow`` prebuilt) — folds each MADE's masks into its
+weights, re-lays them out for the samples-on-lanes kernel, and returns a
+:class:`FusedMAF` with megakernel ``sample`` / ``log_prob`` /
+``sample_and_log_prob`` / ``forward`` / ``inverse``.
+
+Inference-only (training uses the autodiff'd XLA chain); see
+benchmarks/bench_fused_maf.py for measured throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nflows_tpu.ops.pallas.maf_flow_kernel import (
+    MAFLayerStatic,
+    maf_flow_kernel_call,
+)
+
+__all__ = ["FusedMAF", "fuse_maf", "can_fuse_maf"]
+
+
+def can_fuse_maf(flow) -> bool:
+    try:
+        _extract(flow, jnp.float32)
+        return True
+    except (ValueError, AttributeError):
+        return False
+
+
+def _masked_weight_T(md):
+    """Pre-masked, transposed [out, in] weight of a MaskedDense."""
+    return (np.asarray(md.weight) * np.asarray(md.mask)).T
+
+
+def _extract(flow, dtype):
+    from nflows_tpu.distributions.normal import StandardNormal
+    from nflows_tpu.nn.made import MADE, MaskedResidualBlock
+    from nflows_tpu.transforms.autoregressive import (
+        MaskedAffineAutoregressiveTransform,
+    )
+    from nflows_tpu.transforms.base import CompositeTransform
+    from nflows_tpu.transforms.permutations import Permutation
+
+    if not isinstance(flow.distribution, StandardNormal):
+        raise ValueError("fused path requires a StandardNormal base")
+    t = flow.transform
+    if not isinstance(t, CompositeTransform):
+        raise ValueError("expected a CompositeTransform chain")
+    ts = t.transforms
+    if len(ts) % 2:
+        raise ValueError("expected [permutation, affine-AR] pairs")
+
+    flow = jax.device_get(flow)  # one batched host transfer (see nsf_fused)
+    ts = flow.transform.transforms
+
+    layer_static = []
+    wis, bis, wbs, bbs, wfs, bfs = [], [], [], [], [], []
+    ref_cfg = None
+    for i in range(0, len(ts), 2):
+        perm, ar = ts[i], ts[i + 1]
+        if not isinstance(perm, Permutation) or perm.dim != 1:
+            raise ValueError("layer must start with a feature Permutation")
+        if type(ar) is not MaskedAffineAutoregressiveTransform:
+            raise ValueError("only affine autoregressive layers are fused")
+        made = ar.autoregressive_net
+        if not isinstance(made, MADE) or not made.use_residual_blocks:
+            raise ValueError("fused path requires residual-block MADE")
+        if made.context_layer is not None:
+            raise ValueError("context not supported in the fused path")
+        if made.activation is not jax.nn.relu:
+            raise ValueError("fused MADE requires relu activation")
+        for blk in made.blocks:
+            if not isinstance(blk, MaskedResidualBlock):
+                raise ValueError("fused path requires residual MADE blocks")
+            if blk.dropout.rate != 0.0:
+                raise ValueError("dropout MADE not fused")
+            if blk.activation is not jax.nn.relu:
+                raise ValueError("fused MADE requires relu activation")
+
+        D = made.features
+        H = made.hidden_features
+        cfg = (D, H, len(made.blocks))
+        if ref_cfg is None:
+            ref_cfg = cfg
+        elif cfg != ref_cfg:
+            raise ValueError("layers must be homogeneous to fuse")
+
+        p = np.asarray(perm.permutation)
+        layer_static.append(MAFLayerStatic(
+            perm_rows=tuple(int(v) for v in p),
+            inv_perm_rows=tuple(int(v) for v in np.argsort(p)),
+        ))
+
+        wis.append(_masked_weight_T(made.initial_layer))          # [H, D]
+        bis.append(np.asarray(made.initial_layer.bias)[:, None])
+        for blk in made.blocks:
+            for lin in (blk.linear_0, blk.linear_1):
+                wbs.append(_masked_weight_T(lin))                 # [H, H]
+                bbs.append(np.asarray(lin.bias)[:, None])
+        # final layer [H, 2D]: reference packs params feature-major
+        # (col 2t = unconstrained scale_t, col 2t+1 = shift_t,
+        # autoregressive.py:96-101); reorder scale-major for the kernel
+        wf = _masked_weight_T(made.final_layer)                   # [2D, H]
+        bf = np.asarray(made.final_layer.bias)[:, None]
+        order = np.concatenate([2 * np.arange(D), 2 * np.arange(D) + 1])
+        wfs.append(wf[order])
+        bfs.append(bf[order])
+
+    D, H, num_blocks = ref_cfg
+    weights = dict(
+        wi=jnp.asarray(np.concatenate(wis), dtype=dtype),
+        bi=jnp.asarray(np.concatenate(bis), dtype=jnp.float32),
+        wb=jnp.asarray(np.concatenate(wbs), dtype=dtype),
+        bb=jnp.asarray(np.concatenate(bbs), dtype=jnp.float32),
+        wf=jnp.asarray(np.concatenate(wfs), dtype=dtype),
+        bf=jnp.asarray(np.concatenate(bfs), dtype=jnp.float32),
+    )
+    return layer_static, weights, num_blocks, D
+
+
+class FusedMAF:
+    """Megakernel-backed inference view of a MAF. See nsf_fused.FusedNSF
+    for the API contract (Transform + context-free Distribution)."""
+
+    def __init__(self, flow, dtype=jnp.bfloat16, lanes: int = 2048,
+                 interpret: bool = False):
+        (self._static, self._weights, self._num_blocks,
+         self.features) = _extract(flow, dtype)
+        self._lanes = lanes
+        self._interpret = interpret
+
+        def run(x_t, inverse):
+            w = self._weights
+            return maf_flow_kernel_call(
+                x_t, w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
+                self._static, inverse=inverse, num_blocks=self._num_blocks,
+                lanes=self._lanes, interpret=self._interpret,
+            )
+
+        self._run_fwd = jax.jit(lambda x_t: run(x_t, False))
+        self._run_inv = jax.jit(lambda x_t: run(x_t, True))
+
+    def _apply(self, inputs, inverse):
+        n = inputs.shape[0]
+        if inputs.ndim != 2 or inputs.shape[1] != self.features:
+            raise ValueError(
+                f"expected [N, {self.features}] inputs, got {inputs.shape}")
+        pad = (-n) % self._lanes
+        x_t = jnp.asarray(inputs, jnp.float32).T
+        if pad:
+            x_t = jnp.pad(x_t, ((0, 0), (0, pad)))
+        run = self._run_inv if inverse else self._run_fwd
+        y_t, lad = run(x_t)
+        return y_t[:, :n].T, lad[0, :n]
+
+    def forward(self, inputs, context=None):
+        if context is not None:
+            raise ValueError("fused path is context-free")
+        return self._apply(inputs, inverse=False)
+
+    def inverse(self, inputs, context=None):
+        if context is not None:
+            raise ValueError("fused path is context-free")
+        return self._apply(inputs, inverse=True)
+
+    def log_prob(self, inputs, context=None):
+        noise, logabsdet = self.forward(inputs, context)
+        log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
+            - 0.5 * self.features * np.log(2 * np.pi)
+        return log_base + logabsdet
+
+    def sample(self, key, num_samples, context=None):
+        if context is not None:
+            raise ValueError("fused path is context-free")
+        noise = jax.random.normal(key, (num_samples, self.features))
+        samples, _ = self.inverse(noise)
+        return samples
+
+    def sample_and_log_prob(self, key, num_samples, context=None):
+        if context is not None:
+            raise ValueError("fused path is context-free")
+        noise = jax.random.normal(key, (num_samples, self.features))
+        samples, logabsdet = self.inverse(noise)
+        log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
+            - 0.5 * self.features * np.log(2 * np.pi)
+        return samples, log_base - logabsdet
+
+
+def fuse_maf(flow, dtype=jnp.bfloat16, lanes: int = 2048,
+             interpret: Optional[bool] = None) -> FusedMAF:
+    """Build the fused inference view of a MAF. ``dtype`` sets the MADE
+    GEMM precision (bf16 default; jnp.float32 for full precision)."""
+    if interpret is None:
+        from nflows_tpu.ops.pallas.rq_spline import pallas_available
+        interpret = not pallas_available()
+    return FusedMAF(flow, dtype=dtype, lanes=lanes, interpret=interpret)

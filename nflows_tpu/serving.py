@@ -47,15 +47,24 @@ class CompiledFlow:
         # flow does not qualify.
         self._fused = None
         if use_fused is None:
+            from nflows_tpu.ops.pallas.maf_fused import can_fuse_maf
             from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf
             from nflows_tpu.ops.pallas.rq_spline import pallas_available
             use_fused = (context_features is None and pallas_available()
-                         and can_fuse_nsf(flow))
+                         and (can_fuse_nsf(flow) or can_fuse_maf(flow)))
         if use_fused:
-            from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+            from nflows_tpu.ops.pallas.maf_fused import can_fuse_maf, fuse_maf
+            from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf, fuse_nsf
             if context_features is not None:
                 raise ValueError("fused serving path is context-free")
-            self._fused = fuse_nsf(flow)
+            if can_fuse_nsf(flow):
+                self._fused = fuse_nsf(flow)
+            elif can_fuse_maf(flow):
+                self._fused = fuse_maf(flow)
+            else:
+                raise ValueError(
+                    "use_fused=True but this flow matches neither the NSF "
+                    "nor the MAF megakernel structure")
 
     # -- lazy AOT compilation ------------------------------------------------
 
