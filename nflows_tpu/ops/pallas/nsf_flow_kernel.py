@@ -200,10 +200,139 @@ def _take_rows(x, rows):
     return jnp.concatenate([x[r:r + 1] for r in rows], axis=0)
 
 
+def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
+                   min_bin_width, min_bin_height, min_derivative,
+                   min_lambda):
+    """Unconstrained (linear-tail) linear-rational spline on [T, R]
+    tensors — the beyond-reference family (Dolatabadi et al. 2020).
+
+    ``P`` is [TM, R], K-major: widths j<K, heights K<=j<2K, lambdas
+    2K<=j<3K, interior derivatives 3K<=j<4K-1 (boundary derivs are exactly
+    1, as in the RQ case). Math mirrors ops/pallas/lrs_spline.py.
+    Returns (out [T, R], logabsdet [T, R]).
+    """
+    K = num_bins
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    def slice_j(j):
+        return P[j * T:(j + 1) * T]
+
+    def normalize(vals, min_size):
+        vmax = vals[0]
+        for v in vals[1:]:
+            vmax = jnp.maximum(vmax, v)
+        exps = [jnp.exp(v - vmax) for v in vals]
+        total = exps[0]
+        for e in exps[1:]:
+            total = total + e
+        inv_total = 1.0 / total
+        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+
+    widths = normalize([slice_j(j) for j in range(K)], min_bin_width)
+    heights = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
+
+    def edges_of(bins):
+        edges = [jnp.full_like(x, -B)]
+        run = jnp.zeros_like(x)
+        for k in range(K):
+            run = run + bins[k]
+            edges.append(2.0 * B * run - B)
+        edges[-1] = jnp.full_like(x, B)
+        return edges
+
+    edge_w = edges_of(widths)
+    edge_h = edges_of(heights)
+    bin_w = [edge_w[k + 1] - edge_w[k] for k in range(K)]
+    bin_h = [edge_h[k + 1] - edge_h[k] for k in range(K)]
+
+    lams = [
+        min_lambda + (1.0 - 2.0 * min_lambda)
+        / (1.0 + jnp.exp(-slice_j(2 * K + j)))
+        for j in range(K)
+    ]
+    one = jnp.ones_like(x)
+    derivs = [one] + [
+        min_derivative + jnp.logaddexp(slice_j(3 * K + j), 0.0)
+        for j in range(K - 1)
+    ] + [one]
+
+    search_edges = edge_h if inverse else edge_w
+    idx = jnp.zeros_like(x, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + (x >= search_edges[k]).astype(jnp.int32)
+
+    sel_w, sel_h = bin_w[0], bin_h[0]
+    sel_x0, sel_y0 = edge_w[0], edge_h[0]
+    sel_d0, sel_d1 = derivs[0], derivs[1]
+    sel_lam = lams[0]
+    for k in range(1, K):
+        m = idx == k
+        sel_w = jnp.where(m, bin_w[k], sel_w)
+        sel_h = jnp.where(m, bin_h[k], sel_h)
+        sel_x0 = jnp.where(m, edge_w[k], sel_x0)
+        sel_y0 = jnp.where(m, edge_h[k], sel_y0)
+        sel_d0 = jnp.where(m, derivs[k], sel_d0)
+        sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
+        sel_lam = jnp.where(m, lams[k], sel_lam)
+
+    y1 = sel_y0 + sel_h
+    wb = jnp.sqrt(sel_d0 / sel_d1)
+    ym = ((1.0 - sel_lam) * sel_y0 + sel_lam * wb * y1) / (
+        (1.0 - sel_lam) + sel_lam * wb)
+    wm = sel_d0 * sel_lam * sel_w / (ym - sel_y0)
+
+    if inverse:
+        y = x
+        use_a = y <= ym
+        y_a = jnp.minimum(y, ym)
+        y_b = jnp.maximum(y, ym)
+        theta_a_inv = sel_lam * (y_a - sel_y0) / (
+            wm * (ym - y_a) + (y_a - sel_y0))
+        den_b_inv = wm * (ym - y_b) + wb * (y_b - y1)
+        theta_b_inv = (wm * (ym - y_b) + wb * sel_lam * (y_b - y1)) / den_b_inv
+        theta = jnp.where(use_a, theta_a_inv, theta_b_inv)
+    else:
+        theta = (x - sel_x0) / sel_w
+        use_a = theta <= sel_lam
+
+    theta_a = jnp.minimum(theta, sel_lam)
+    theta_b = jnp.maximum(theta, sel_lam)
+    den_a = (sel_lam - theta_a) + wm * theta_a
+    den_b = wm * (1.0 - theta_b) + wb * (theta_b - sel_lam)
+
+    if inverse:
+        out = sel_x0 + theta * sel_w
+    else:
+        out_a = (sel_y0 * (sel_lam - theta_a) + wm * ym * theta_a) / den_a
+        out_b = (wm * ym * (1.0 - theta_b)
+                 + wb * y1 * (theta_b - sel_lam)) / den_b
+        out = jnp.where(use_a, out_a, out_b)
+
+    log_deriv_a = (jnp.log(wm) + jnp.log(sel_lam) + jnp.log(ym - sel_y0)
+                   - 2.0 * jnp.log(den_a) - jnp.log(sel_w))
+    log_deriv_b = (jnp.log(wm) + jnp.log(wb) + jnp.log1p(-sel_lam)
+                   + jnp.log(y1 - ym) - 2.0 * jnp.log(den_b)
+                   - jnp.log(sel_w))
+    lad = jnp.where(use_a, log_deriv_a, log_deriv_b)
+    if inverse:
+        lad = -lad
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+_SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR}
+
+
 def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
             out_ref, lad_ref,
             w0_v, b0_v, wb_v, bb_v, wf_v, bf_v, dma_sems, *,
-            layer_indices, num_bins, num_blocks, inverse, H, TM, spline_kw):
+            layer_indices, num_bins, num_blocks, inverse, H, TM, spline,
+            spline_kw):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -238,7 +367,7 @@ def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
 
         P = _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
                          num_blocks, H, TM)
-        out, lad = _rq_spline_TR(
+        out, lad = _SPLINES_TR[spline](
             transform, P, num_bins=num_bins, T=T, inverse=inverse,
             **spline_kw,
         )
@@ -267,6 +396,8 @@ def nsf_flow_kernel_call(
     min_bin_width: float,
     min_bin_height: float,
     min_derivative: float,
+    spline: str = "rq",
+    min_lambda: float = None,
     lanes: int = LANES_DEFAULT,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -289,6 +420,12 @@ def nsf_flow_kernel_call(
     wf = wf.reshape(L * TM, H)
     bf = bf.reshape(L * TM, 1)
 
+    spline_kw = dict(
+        tail_bound=tail_bound, min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height, min_derivative=min_derivative,
+    )
+    if spline == "lrs":
+        spline_kw["min_lambda"] = min_lambda
     kernel = functools.partial(
         _kernel,
         layer_indices=tuple(layer_indices),
@@ -297,10 +434,8 @@ def nsf_flow_kernel_call(
         inverse=inverse,
         H=H,
         TM=TM,
-        spline_kw=dict(
-            tail_bound=tail_bound, min_bin_width=min_bin_width,
-            min_bin_height=min_bin_height, min_derivative=min_derivative,
-        ),
+        spline=spline,
+        spline_kw=spline_kw,
     )
 
     # weights pinned to HBM (BlockSpec'd VMEM inputs would be

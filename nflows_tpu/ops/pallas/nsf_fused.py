@@ -87,6 +87,7 @@ def _extract(flow, dtype):
     from nflows_tpu.distributions.normal import StandardNormal
     from nflows_tpu.nn.nets.resnet import ResidualNet
     from nflows_tpu.transforms.coupling import (
+        PiecewiseLinearRationalCouplingTransform,
         PiecewiseRationalQuadraticCouplingTransform,
     )
     from nflows_tpu.transforms.permutations import Permutation
@@ -105,8 +106,12 @@ def _extract(flow, dtype):
     for perm, cpl in pairs:
         if not isinstance(perm, Permutation) or perm.dim != 1:
             raise ValueError("layer must start with a feature Permutation")
-        if not isinstance(cpl, PiecewiseRationalQuadraticCouplingTransform):
-            raise ValueError("only RQ-spline couplings are fused")
+        if isinstance(cpl, PiecewiseRationalQuadraticCouplingTransform):
+            spline = "rq"
+        elif isinstance(cpl, PiecewiseLinearRationalCouplingTransform):
+            spline = "lrs"
+        else:
+            raise ValueError("only RQ/LRS-spline couplings are fused")
         if cpl.tails != "linear":
             raise ValueError("fused path requires tails='linear'")
         if cpl.unconditional_transform is not None:
@@ -124,11 +129,12 @@ def _extract(flow, dtype):
 
         K = cpl.num_bins
         T = cpl.num_transform_features
-        M = 3 * K - 1
+        M = (3 * K - 1) if spline == "rq" else (4 * K - 1)
         H = net.hidden_features
-        cfg = (K, T, cpl.num_identity_features, H, len(net.blocks),
+        cfg = (spline, K, T, cpl.num_identity_features, H, len(net.blocks),
                cpl.tail_bound, cpl.min_bin_width, cpl.min_bin_height,
-               cpl.min_derivative)
+               cpl.min_derivative,
+               getattr(cpl, "min_lambda", None))
         if ref_cfg is None:
             ref_cfg = cfg
         elif cfg != ref_cfg:
@@ -161,7 +167,8 @@ def _extract(flow, dtype):
 
         # final layer: reorder columns K-major (new col j*T+t = old t*M+j)
         # and fold the softmax 1/sqrt(H) scale into width/height params
-        # (reference coupling.py:554-563)
+        # (reference coupling.py:554-563; the LRS lambda/derivative params
+        # are unscaled, like the RQ derivatives)
         wf = np.asarray(net.final_layer.weight)               # [H, T*M]
         bf = np.asarray(net.final_layer.bias)                 # [T*M]
         order = np.array([t * M + j for j in range(M) for t in range(T)])
@@ -172,7 +179,7 @@ def _extract(flow, dtype):
         wfs.append(wf.T)                                      # [TM, H]
         bfs.append(bf[:, None])
 
-    K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md = ref_cfg
+    spline, K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md, ml = ref_cfg
     weights = dict(
         w0=jnp.asarray(np.stack(w0s), dtype=dtype),
         b0=jnp.asarray(np.stack(b0s), dtype=jnp.float32),
@@ -184,14 +191,16 @@ def _extract(flow, dtype):
     static = dict(
         num_bins=K, num_blocks=num_blocks, tail_bound=float(tail_bound),
         min_bin_width=float(mbw), min_bin_height=float(mbh),
-        min_derivative=float(md),
+        min_derivative=float(md), spline=spline,
+        min_lambda=None if ml is None else float(ml),
     )
     features = Tid + T
     return layer_indices, weights, static, features
 
 
 class FusedNSF:
-    """Megakernel-backed inference view of a tabular RQ-NSF flow.
+    """Megakernel-backed inference view of a tabular NSF flow (RQ or
+    linear-rational spline family).
 
     ``forward``/``inverse`` have the Transform contract; ``log_prob``,
     ``sample`` and ``sample_and_log_prob`` the Distribution contract

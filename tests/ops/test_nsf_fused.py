@@ -97,8 +97,7 @@ def test_ragged_batch_padding(fused, flow):
 
 def test_can_fuse_rejects_unsupported():
     assert can_fuse_nsf(_flow())
-    # LRS spline coupling: not an RQ coupling -> not fusable
-    assert not can_fuse_nsf(_flow(spline="lrs"))
+    assert can_fuse_nsf(_flow(spline="lrs"))   # LRS family fuses too
     # context'd flow -> not fusable
     assert not can_fuse_nsf(_flow(context_features=3))
     from nflows_tpu.flows import MaskedAutoregressiveFlow
@@ -122,3 +121,22 @@ def test_model_fused_method(flow):
                     dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(flow.log_prob(x)),
                                np.asarray(fused.log_prob(x)), atol=1e-4)
+
+
+def test_lrs_flow_fuses_and_matches_xla():
+    """The beyond-reference linear-rational family runs in the megakernel
+    too (kernel spline='lrs' branch)."""
+    flow = _flow(spline="lrs")
+    fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(100, 6)) * 2,
+                    dtype=jnp.float32)
+    y_ref, lad_ref = flow.transform.forward(x)
+    y_f, lad_f = fused.forward(x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-4)
+    z = jnp.asarray(np.random.default_rng(12).normal(size=(100, 6)),
+                    dtype=jnp.float32)
+    x_ref, _ = flow.transform.inverse(z)
+    x_f, _ = fused.inverse(z)
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_f), atol=1e-5)
