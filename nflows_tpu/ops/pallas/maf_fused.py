@@ -57,8 +57,14 @@ def _extract(flow, dtype):
     if not isinstance(t, CompositeTransform):
         raise ValueError("expected a CompositeTransform chain")
     ts = t.transforms
-    if len(ts) % 2:
+    if len(ts) % 2 or not ts:
         raise ValueError("expected [permutation, affine-AR] pairs")
+    # cheap structural pre-validation before the host transfer
+    for i in range(0, len(ts), 2):
+        if not isinstance(ts[i], Permutation):
+            raise ValueError("layer must start with a feature Permutation")
+        if type(ts[i + 1]) is not MaskedAffineAutoregressiveTransform:
+            raise ValueError("only affine autoregressive layers are fused")
 
     flow = jax.device_get(flow)  # one batched host transfer (see nsf_fused)
     ts = flow.transform.transforms

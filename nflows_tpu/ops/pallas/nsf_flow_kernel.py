@@ -420,11 +420,15 @@ def nsf_flow_kernel_call(
     wf = wf.reshape(L * TM, H)
     bf = bf.reshape(L * TM, 1)
 
+    if spline not in _SPLINES_TR:
+        raise ValueError(f"spline must be one of {sorted(_SPLINES_TR)}")
     spline_kw = dict(
         tail_bound=tail_bound, min_bin_width=min_bin_width,
         min_bin_height=min_bin_height, min_derivative=min_derivative,
     )
     if spline == "lrs":
+        if min_lambda is None:
+            raise ValueError("min_lambda is required for spline='lrs'")
         spline_kw["min_lambda"] = min_lambda
     kernel = functools.partial(
         _kernel,

@@ -94,6 +94,18 @@ def _extract(flow, dtype):
 
     if not isinstance(flow.distribution, StandardNormal):
         raise ValueError("fused path requires a StandardNormal base")
+    # cheap structural pre-validation BEFORE any host transfer, so
+    # non-qualifying flows (e.g. serving's auto-probe trying NSF on a
+    # MAF) fail in microseconds instead of after a device_get
+    pre = _layer_groups(flow.transform)
+    if not pre:
+        raise ValueError("empty transform chain")
+    for perm, cpl in pre:
+        if not isinstance(perm, Permutation):
+            raise ValueError("layer must start with a feature Permutation")
+        if not isinstance(cpl, (PiecewiseRationalQuadraticCouplingTransform,
+                                PiecewiseLinearRationalCouplingTransform)):
+            raise ValueError("only RQ/LRS-spline couplings are fused")
     # ONE pipelined device->host transfer up front: extraction reads ~7
     # arrays per layer, and per-leaf np.asarray round-trips are ruinously
     # slow through a remote-TPU tunnel (minutes for a 10-layer flow)

@@ -38,33 +38,63 @@ class CompiledFlow:
         self._compiled = {}
 
         # Serving is the amortized-inference context, so the whole-flow
-        # Pallas megakernel (measured 1.5x the XLA chain on TPU —
-        # BASELINE.md round 2) is the DEFAULT here whenever the flow
-        # qualifies and a TPU is present; its one-time extraction cost is
-        # paid at CompiledFlow construction, exactly where AOT compiles
-        # already live. use_fused=False opts out (e.g. for bitwise
-        # comparison against the XLA chain); use_fused=True raises if the
-        # flow does not qualify.
+        # Pallas megakernels (NSF 1.5x / MAF-sampling 1.94x the XLA chain
+        # on TPU — BASELINE.md round 2) are the DEFAULT here whenever the
+        # flow qualifies and a TPU is present; the one-time extraction cost
+        # is paid at CompiledFlow construction, exactly where AOT compiles
+        # already live. ``dtype`` governs the fused GEMM precision too
+        # (fp32 default; pass jnp.bfloat16 for the fastest path).
+        # use_fused=False opts out; use_fused=True raises if the flow does
+        # not qualify; auto mode (None) also skips flows whose resident
+        # weights would not comfortably fit the kernel's VMEM budget, and
+        # falls back to the XLA endpoints rather than failing.
         self._fused = None
-        if use_fused is None:
-            from nflows_tpu.ops.pallas.maf_fused import can_fuse_maf
-            from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf
-            from nflows_tpu.ops.pallas.rq_spline import pallas_available
-            use_fused = (context_features is None and pallas_available()
-                         and (can_fuse_nsf(flow) or can_fuse_maf(flow)))
-        if use_fused:
-            from nflows_tpu.ops.pallas.maf_fused import can_fuse_maf, fuse_maf
-            from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf, fuse_nsf
-            if context_features is not None:
+        if use_fused is None or use_fused:
+            self._fused = self._try_build_fused(flow, required=bool(use_fused))
+
+    _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap
+
+    def _try_build_fused(self, flow, required: bool):
+        from nflows_tpu.ops.pallas.maf_fused import fuse_maf
+        from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+        from nflows_tpu.ops.pallas.rq_spline import pallas_available
+
+        if self.context_features is not None:
+            if required:
                 raise ValueError("fused serving path is context-free")
-            if can_fuse_nsf(flow):
-                self._fused = fuse_nsf(flow)
-            elif can_fuse_maf(flow):
-                self._fused = fuse_maf(flow)
-            else:
-                raise ValueError(
-                    "use_fused=True but this flow matches neither the NSF "
-                    "nor the MAF megakernel structure")
+            return None
+        if not required and not pallas_available():
+            return None
+
+        # size the lane tile to the actual request shapes (the kernels pad
+        # ragged batches up to one lane tile — a 2048 default would make
+        # every batch-32 request compute 64x the needed work)
+        target = max(self.batch_size, self.num_samples)
+        lanes = min(2048, max(128, -(-target // 128) * 128))
+
+        errors = []
+        for fuse in (fuse_nsf, fuse_maf):
+            try:
+                fused = fuse(flow, dtype=self._dtype, lanes=lanes)
+            except (ValueError, AttributeError) as e:
+                errors.append(str(e))
+                continue
+            weight_bytes = sum(
+                w.nbytes for w in fused._weights.values())
+            if weight_bytes > self._FUSED_VMEM_BUDGET:
+                if required:
+                    raise ValueError(
+                        f"flow's stacked weights ({weight_bytes/2**20:.0f} "
+                        "MB) exceed the fused kernel's VMEM budget; use "
+                        "use_fused=False or a bf16 dtype")
+                errors.append("weights exceed fused VMEM budget")
+                return None
+            return fused
+        if required:
+            raise ValueError(
+                "use_fused=True but this flow matches neither the NSF nor "
+                f"the MAF megakernel structure: {errors}")
+        return None
 
     # -- lazy AOT compilation ------------------------------------------------
 

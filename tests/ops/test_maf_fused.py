@@ -62,6 +62,9 @@ def test_log_prob_and_sample_match(flow, fused):
 
 
 def test_random_permutations_and_ragged_batch():
+    # random (non-involutive) permutations: exercises perm_rows vs
+    # inv_perm_rows in BOTH directions — reverse permutations are
+    # self-inverse and would mask a swapped-gather regression
     flow = _flow(use_random_permutations=True,
                  rng=np.random.default_rng(7))
     fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
@@ -72,6 +75,13 @@ def test_random_permutations_and_ragged_batch():
         y_f, _ = fused.forward(x)
         np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f),
                                    atol=1e-5)
+    z = jnp.asarray(np.random.default_rng(77).normal(size=(64, 5)),
+                    dtype=jnp.float32)
+    x_ref, lad_ref = flow.transform.inverse(z)
+    x_f, lad_f = fused.inverse(z)
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-4)
 
 
 def test_can_fuse_rejects_unsupported(flow):

@@ -117,12 +117,12 @@ def test_compiled_flow_fused_path_matches_xla():
                             key=jax.random.key(0),
                             rng=np.random.default_rng(0))
     xla = CompiledFlow(flow, batch_size=32, features=6, use_fused=False)
+    # CompiledFlow's dtype (fp32 default) governs the fused GEMM precision
     fused = CompiledFlow(flow, batch_size=32, features=6, use_fused=True)
     assert fused._fused is not None
-    # bf16 extraction is the TPU default; for a CPU numerics check use fp32
-    from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
-    fused._fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128,
-                            interpret=True)
+    assert fused._fused._weights["wb"].dtype == jnp.float32
+    # lane tile sized to the request, not a fixed 2048
+    assert fused._fused._lanes == 128
 
     x = jnp.asarray(np.random.default_rng(1).normal(size=(32, 6)),
                     dtype=jnp.float32)
@@ -137,3 +137,31 @@ def test_compiled_flow_fused_path_matches_xla():
     with pytest.raises(ValueError):
         CompiledFlow(flow, batch_size=8, features=6, context_features=2,
                      use_fused=True)
+
+
+def test_compiled_flow_fused_maf_and_fallbacks():
+    import numpy as np
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.serving import CompiledFlow
+
+    maf = MaskedAutoregressiveFlow(features=4, hidden_features=16,
+                                   num_layers=2, num_blocks_per_layer=1,
+                                   key=jax.random.key(0))
+    served = CompiledFlow(maf, batch_size=16, features=4, use_fused=True)
+    assert served._fused is not None
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(16, 4)),
+                    dtype=jnp.float32)
+    lp_xla = CompiledFlow(maf, batch_size=16, features=4,
+                          use_fused=False).log_prob(x)
+    np.testing.assert_allclose(np.asarray(lp_xla),
+                               np.asarray(served.log_prob(x)), atol=1e-4)
+
+    # non-qualifying flow: auto mode must fall back silently, explicit
+    # use_fused=True must raise a clear error
+    import pytest
+    from nflows_tpu.flows import SimpleRealNVP
+    nvp = SimpleRealNVP(features=4, hidden_features=16, num_layers=2,
+                        num_blocks_per_layer=1, key=jax.random.key(1))
+    assert CompiledFlow(nvp, batch_size=8, features=4)._fused is None
+    with pytest.raises(ValueError):
+        CompiledFlow(nvp, batch_size=8, features=4, use_fused=True)
