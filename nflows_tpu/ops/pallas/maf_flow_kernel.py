@@ -36,6 +36,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas.nsf_flow_kernel import _rq_spline_TR
+
 __all__ = ["maf_flow_kernel_call", "MAFLayerStatic"]
 
 _EPSILON = 1e-3  # MaskedAffineAutoregressiveTransform._EPSILON
@@ -78,7 +80,8 @@ def _made_forward(x, wi, bi, wbs, bbs, wf, bf, num_blocks):
 def _kernel(x_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
             out_ref, lad_ref,
             wi_v, bi_v, wb_v, bb_v, wf_v, bf_v, dma_sems, *,
-            layer_static, num_blocks, inverse, D, H):
+            layer_static, num_blocks, inverse, D, H, P_rows, transformer,
+            spline_kw):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -109,16 +112,25 @@ def _kernel(x_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
                for j in range(nb)]
         bbs = [bb_v[(l * nb + j) * H:(l * nb + j + 1) * H, :]
                for j in range(nb)]
-        wf = wf_v[l * 2 * D:(l + 1) * 2 * D, :]
-        bf = bf_v[l * 2 * D:(l + 1) * 2 * D, :]
+        wf = wf_v[l * P_rows:(l + 1) * P_rows, :]
+        bf = bf_v[l * P_rows:(l + 1) * P_rows, :]
         return wi, bi, wbs, bbs, wf, bf
 
-    def affine_params(P):
-        # final-layer rows pre-reordered scale-major: [0:D] unconstrained
-        # scale, [D:2D] shift (reference autoregressive.py:96-101)
-        scale = jnp.logaddexp(P[:D], 0.0) + _EPSILON
-        shift = P[D:]
-        return scale, shift
+    def elementwise(x_in, P, inv):
+        """Apply the transformer given its param block P [P_rows, R]
+        (param-major rows: param j of feature t at row j*D + t)."""
+        if transformer == "affine":
+            # [0:D] unconstrained scale, [D:2D] shift
+            # (reference autoregressive.py:96-101)
+            scale = jnp.logaddexp(P[:D], 0.0) + _EPSILON
+            log_s = jnp.log(scale)
+            if inv:
+                return (x_in - P[D:]) / scale, -log_s
+            return scale * x_in + P[D:], log_s
+        # RQ spline (NSF-AR, reference autoregressive.py:404-495); the
+        # 1/sqrt(hidden) width/height rescale is folded into the final
+        # weights at extraction
+        return _rq_spline_TR(x_in, P, T=D, inverse=inv, **spline_kw)
 
     order = range(L - 1, -1, -1) if inverse else range(L)
     for l in order:
@@ -132,22 +144,18 @@ def _kernel(x_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
 
             def body(_, xi, z=z, weights=weights):
                 P = _made_forward(xi, *weights, num_blocks)
-                scale, shift = affine_params(P)
-                return (z - shift) / scale
+                return elementwise(z, P, inv=True)[0]
 
             xi = jax.lax.fori_loop(0, D, body, jnp.zeros_like(z))
             P = _made_forward(xi, *weights, num_blocks)
-            scale, _ = affine_params(P)
-            lad_total = lad_total - jnp.sum(jnp.log(scale), axis=0,
-                                            keepdims=True)
+            _, lad = elementwise(z, P, inv=True)
+            lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
             x = _take_rows(xi, ls.inv_perm_rows)
         else:
             xp = _take_rows(x, ls.perm_rows)
             P = _made_forward(xp, *weights, num_blocks)
-            scale, shift = affine_params(P)
-            x = scale * xp + shift
-            lad_total = lad_total + jnp.sum(jnp.log(scale), axis=0,
-                                            keepdims=True)
+            x, lad = elementwise(xp, P, inv=False)
+            lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
 
     out_ref[...] = x
     lad_ref[...] = lad_total
@@ -159,12 +167,14 @@ def maf_flow_kernel_call(
     bi: jnp.ndarray,                # [L*H, 1] fp32
     wb: jnp.ndarray,                # [L*2nb*H, H]
     bb: jnp.ndarray,                # [L*2nb*H, 1]
-    wf: jnp.ndarray,                # [L*2D, H] (scale-major row order)
-    bf: jnp.ndarray,                # [L*2D, 1]
+    wf: jnp.ndarray,                # [L*P_rows, H] (param-major row order)
+    bf: jnp.ndarray,                # [L*P_rows, 1]
     layer_static,
     *,
     inverse: bool,
     num_blocks: int,
+    transformer: str = "affine",    # "affine" (MAF) | "rq" (NSF-AR)
+    spline_kw=None,                 # for "rq": num_bins, tail_bound, mins
     lanes: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -174,13 +184,19 @@ def maf_flow_kernel_call(
     D, N = x_t.shape
     L = len(layer_static)
     H = wi.shape[0] // L
+    P_rows = wf.shape[0] // L
     if N % lanes:
         raise ValueError(f"N={N} must be a multiple of lanes={lanes}")
+    if transformer not in ("affine", "rq"):
+        raise ValueError(f"unknown transformer {transformer!r}")
+    if transformer == "rq" and not spline_kw:
+        raise ValueError("spline_kw is required for transformer='rq'")
     grid = (N // lanes,)
 
     kernel = functools.partial(
         _kernel, layer_static=tuple(layer_static), num_blocks=num_blocks,
-        inverse=inverse, D=D, H=H,
+        inverse=inverse, D=D, H=H, P_rows=P_rows, transformer=transformer,
+        spline_kw=dict(spline_kw or {}),
     )
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
 

@@ -47,9 +47,13 @@ def _extract(flow, dtype):
     from nflows_tpu.nn.made import MADE, MaskedResidualBlock
     from nflows_tpu.transforms.autoregressive import (
         MaskedAffineAutoregressiveTransform,
+        MaskedPiecewiseRationalQuadraticAutoregressiveTransform,
     )
     from nflows_tpu.transforms.base import CompositeTransform
     from nflows_tpu.transforms.permutations import Permutation
+
+    _AR_CLASSES = (MaskedAffineAutoregressiveTransform,
+                   MaskedPiecewiseRationalQuadraticAutoregressiveTransform)
 
     if not isinstance(flow.distribution, StandardNormal):
         raise ValueError("fused path requires a StandardNormal base")
@@ -63,8 +67,9 @@ def _extract(flow, dtype):
     for i in range(0, len(ts), 2):
         if not isinstance(ts[i], Permutation):
             raise ValueError("layer must start with a feature Permutation")
-        if type(ts[i + 1]) is not MaskedAffineAutoregressiveTransform:
-            raise ValueError("only affine autoregressive layers are fused")
+        if type(ts[i + 1]) not in _AR_CLASSES:
+            raise ValueError(
+                "only affine / RQ-spline autoregressive layers are fused")
 
     flow = jax.device_get(flow)  # one batched host transfer (see nsf_fused)
     ts = flow.transform.transforms
@@ -76,8 +81,21 @@ def _extract(flow, dtype):
         perm, ar = ts[i], ts[i + 1]
         if not isinstance(perm, Permutation) or perm.dim != 1:
             raise ValueError("layer must start with a feature Permutation")
-        if type(ar) is not MaskedAffineAutoregressiveTransform:
-            raise ValueError("only affine autoregressive layers are fused")
+        if type(ar) is MaskedAffineAutoregressiveTransform:
+            transformer = "affine"
+            mult = 2
+            spline_cfg = None
+        elif type(ar) is MaskedPiecewiseRationalQuadraticAutoregressiveTransform:
+            if ar.tails != "linear":
+                raise ValueError("fused NSF-AR requires tails='linear'")
+            transformer = "rq"
+            mult = 3 * ar.num_bins - 1
+            spline_cfg = (ar.num_bins, float(ar.tail_bound),
+                          float(ar.min_bin_width), float(ar.min_bin_height),
+                          float(ar.min_derivative))
+        else:
+            raise ValueError(
+                "only affine / RQ-spline autoregressive layers are fused")
         made = ar.autoregressive_net
         if not isinstance(made, MADE) or not made.use_residual_blocks:
             raise ValueError("fused path requires residual-block MADE")
@@ -95,7 +113,7 @@ def _extract(flow, dtype):
 
         D = made.features
         H = made.hidden_features
-        cfg = (D, H, len(made.blocks))
+        cfg = (transformer, mult, D, H, len(made.blocks), spline_cfg)
         if ref_cfg is None:
             ref_cfg = cfg
         elif cfg != ref_cfg:
@@ -113,16 +131,23 @@ def _extract(flow, dtype):
             for lin in (blk.linear_0, blk.linear_1):
                 wbs.append(_masked_weight_T(lin))                 # [H, H]
                 bbs.append(np.asarray(lin.bias)[:, None])
-        # final layer [H, 2D]: reference packs params feature-major
-        # (col 2t = unconstrained scale_t, col 2t+1 = shift_t,
-        # autoregressive.py:96-101); reorder scale-major for the kernel
-        wf = _masked_weight_T(made.final_layer)                   # [2D, H]
+        # final layer [H, mult*D]: the reference packs params
+        # feature-major (col t*mult+j = param j of feature t,
+        # autoregressive.py:96-101 / _reshape_params); reorder param-major
+        # (row j*D+t) for the kernel. For the RQ transformer also fold the
+        # 1/sqrt(hidden) width/height rescale (autoregressive.py:329-331 —
+        # note the AR variant scales widths AND heights) into the weights.
+        wf = _masked_weight_T(made.final_layer)                   # [mult*D, H]
         bf = np.asarray(made.final_layer.bias)[:, None]
-        order = np.concatenate([2 * np.arange(D), 2 * np.arange(D) + 1])
-        wfs.append(wf[order])
-        bfs.append(bf[order])
+        order = np.array([t * mult + j for j in range(mult) for t in range(D)])
+        scale = np.ones(mult * D, dtype=wf.dtype)
+        if transformer == "rq":
+            K = ar.num_bins
+            scale[: 2 * K * D] = 1.0 / np.sqrt(H)
+        wfs.append(wf[order] * scale[:, None])
+        bfs.append(bf[order] * scale[:, None])
 
-    D, H, num_blocks = ref_cfg
+    transformer, mult, D, H, num_blocks, spline_cfg = ref_cfg
     weights = dict(
         wi=jnp.asarray(np.concatenate(wis), dtype=dtype),
         bi=jnp.asarray(np.concatenate(bis), dtype=jnp.float32),
@@ -131,7 +156,12 @@ def _extract(flow, dtype):
         wf=jnp.asarray(np.concatenate(wfs), dtype=dtype),
         bf=jnp.asarray(np.concatenate(bfs), dtype=jnp.float32),
     )
-    return layer_static, weights, num_blocks, D
+    spline_kw = None
+    if transformer == "rq":
+        K, tb, mbw, mbh, md = spline_cfg
+        spline_kw = dict(num_bins=K, tail_bound=tb, min_bin_width=mbw,
+                         min_bin_height=mbh, min_derivative=md)
+    return layer_static, weights, num_blocks, D, transformer, spline_kw
 
 
 class FusedMAF:
@@ -140,8 +170,8 @@ class FusedMAF:
 
     def __init__(self, flow, dtype=jnp.bfloat16, lanes: int = 2048,
                  interpret: bool = False):
-        (self._static, self._weights, self._num_blocks,
-         self.features) = _extract(flow, dtype)
+        (self._static, self._weights, self._num_blocks, self.features,
+         self._transformer, self._spline_kw) = _extract(flow, dtype)
         self._lanes = lanes
         self._interpret = interpret
 
@@ -150,6 +180,7 @@ class FusedMAF:
             return maf_flow_kernel_call(
                 x_t, w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
                 self._static, inverse=inverse, num_blocks=self._num_blocks,
+                transformer=self._transformer, spline_kw=self._spline_kw,
                 lanes=self._lanes, interpret=self._interpret,
             )
 

@@ -99,3 +99,35 @@ def test_errors(fused):
         fused.forward(jnp.ones((4, 4)))
     with pytest.raises(ValueError):
         fused.sample(jax.random.key(0), 8, context=jnp.ones((2, 1)))
+
+
+def test_nsf_ar_fuses_and_matches_xla():
+    """RQ-spline AR transformer (NSF-AR model family) in the AR megakernel:
+    the fixed-point inverse runs the full spline per iteration."""
+    from nflows_tpu.models import NeuralSplineFlowAR
+
+    flow = NeuralSplineFlowAR(features=5, hidden_features=32, num_layers=3,
+                              num_blocks_per_layer=2, num_bins=4,
+                              tail_bound=3.0, key=jax.random.key(0),
+                              rng=np.random.default_rng(0))
+    assert can_fuse_maf(flow)
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(100, 5)) * 2,
+                    dtype=jnp.float32)
+    y_ref, lad_ref = flow.transform.forward(x)
+    y_f, lad_f = fused.forward(x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-4)
+    z = jnp.asarray(np.random.default_rng(2).normal(size=(100, 5)),
+                    dtype=jnp.float32)
+    x_ref, ladi_ref = flow.transform.inverse(z)
+    x_f, ladi_f = fused.inverse(z)
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ladi_ref), np.asarray(ladi_f),
+                               atol=1e-4)
+    # LU-linear interleave is NOT fusable (triples, not pairs)
+    assert not can_fuse_maf(NeuralSplineFlowAR(
+        features=4, hidden_features=16, num_layers=2, num_bins=4,
+        use_linear_layers=True, key=jax.random.key(1),
+        rng=np.random.default_rng(1)))
