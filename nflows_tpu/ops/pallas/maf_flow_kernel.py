@@ -46,6 +46,9 @@ _EPSILON = 1e-3  # MaskedAffineAutoregressiveTransform._EPSILON
 class MAFLayerStatic(NamedTuple):
     perm_rows: Tuple[int, ...]      # forward: x_perm[i] = x[perm_rows[i]]
     inv_perm_rows: Tuple[int, ...]  # inverse of the above
+    wrapped: bool = False           # True = InverseTransform(AR) (IAF):
+    #                                 the elementwise direction swaps, the
+    #                                 permutation placement stays the same
 
 
 def _dot(w, h):
@@ -132,30 +135,40 @@ def _kernel(x_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
         # weights at extraction
         return _rq_spline_TR(x_in, P, T=D, inverse=inv, **spline_kw)
 
+    def ar_forward(x_in, weights):
+        """One MADE pass + elementwise forward."""
+        P = _made_forward(x_in, *weights, num_blocks)
+        return elementwise(x_in, P, inv=False)
+
+    def ar_inverse(z, weights):
+        """D-step fixed point (same iteration as the XLA path,
+        transforms/autoregressive.py:53-62)."""
+        def body(_, xi, z=z, weights=weights):
+            P = _made_forward(xi, *weights, num_blocks)
+            return elementwise(z, P, inv=True)[0]
+
+        xi = jax.lax.fori_loop(0, D, body, jnp.zeros_like(z))
+        P = _made_forward(xi, *weights, num_blocks)
+        _, lad = elementwise(z, P, inv=True)
+        return xi, lad
+
     order = range(L - 1, -1, -1) if inverse else range(L)
     for l in order:
         ls = layer_static[l]
         weights = layer_weights(l)
-
+        # a wrapped (InverseTransform'd, IAF-style) layer swaps WHICH
+        # elementwise direction runs in which branch; the permutation's
+        # placement (before the AR op going forward, after coming back)
+        # is unchanged
         if inverse:
-            # AR inverse: D-step fixed point (same iteration as the XLA
-            # path, transforms/autoregressive.py:53-62), then un-permute
-            z = x
-
-            def body(_, xi, z=z, weights=weights):
-                P = _made_forward(xi, *weights, num_blocks)
-                return elementwise(z, P, inv=True)[0]
-
-            xi = jax.lax.fori_loop(0, D, body, jnp.zeros_like(z))
-            P = _made_forward(xi, *weights, num_blocks)
-            _, lad = elementwise(z, P, inv=True)
-            lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
-            x = _take_rows(xi, ls.inv_perm_rows)
+            fn = ar_forward if ls.wrapped else ar_inverse
+            y, lad = fn(x, weights)
+            x = _take_rows(y, ls.inv_perm_rows)
         else:
             xp = _take_rows(x, ls.perm_rows)
-            P = _made_forward(xp, *weights, num_blocks)
-            x, lad = elementwise(xp, P, inv=False)
-            lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
+            fn = ar_inverse if ls.wrapped else ar_forward
+            x, lad = fn(xp, weights)
+        lad_total = lad_total + jnp.sum(lad, axis=0, keepdims=True)
 
     out_ref[...] = x
     lad_ref[...] = lad_total

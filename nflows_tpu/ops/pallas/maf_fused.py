@@ -1,13 +1,16 @@
-"""Fused MAF inference path: extract a masked-affine-autoregressive flow
-into the whole-flow Pallas kernel (maf_flow_kernel.py).
+"""Fused autoregressive-flow inference path: extract a MAF / NSF-AR /
+IAF into the whole-flow Pallas kernel (maf_flow_kernel.py).
 
-``fuse_maf(flow)`` validates the structure — L x [Permutation,
-MaskedAffineAutoregressiveTransform(residual MADE, relu, no
-context/dropout/batch-norm)] over a StandardNormal base (the
-``MaskedAutoregressiveFlow`` prebuilt) — folds each MADE's masks into its
-weights, re-lays them out for the samples-on-lanes kernel, and returns a
-:class:`FusedMAF` with megakernel ``sample`` / ``log_prob`` /
-``sample_and_log_prob`` / ``forward`` / ``inverse``.
+``fuse_maf(flow)`` validates the structure — L x [Permutation, AR-layer]
+over a StandardNormal base, where the AR layer is a
+MaskedAffineAutoregressiveTransform (MAF), a
+MaskedPiecewiseRationalQuadraticAutoregressiveTransform with linear tails
+(NSF-AR), or either wrapped in InverseTransform (IAF) — each with a
+residual-block relu MADE, no context/dropout/batch-norm. Masks are folded
+into the weights, the final layer reordered param-major (with the RQ
+width/height rescale folded in), and the result is a :class:`FusedMAF`
+with megakernel ``sample`` / ``log_prob`` / ``sample_and_log_prob`` /
+``forward`` / ``inverse``.
 
 Inference-only (training uses the autodiff'd XLA chain); see
 benchmarks/bench_fused_maf.py for measured throughput.
@@ -49,7 +52,7 @@ def _extract(flow, dtype):
         MaskedAffineAutoregressiveTransform,
         MaskedPiecewiseRationalQuadraticAutoregressiveTransform,
     )
-    from nflows_tpu.transforms.base import CompositeTransform
+    from nflows_tpu.transforms.base import CompositeTransform, InverseTransform
     from nflows_tpu.transforms.permutations import Permutation
 
     _AR_CLASSES = (MaskedAffineAutoregressiveTransform,
@@ -64,10 +67,17 @@ def _extract(flow, dtype):
     if len(ts) % 2 or not ts:
         raise ValueError("expected [permutation, affine-AR] pairs")
     # cheap structural pre-validation before the host transfer
+    # (InverseTransform-wrapped AR layers — IAF — are supported: the
+    # kernel swaps the elementwise direction per branch)
+    def _unwrap(t):
+        if isinstance(t, InverseTransform):
+            return t.transform, True
+        return t, False
+
     for i in range(0, len(ts), 2):
         if not isinstance(ts[i], Permutation):
             raise ValueError("layer must start with a feature Permutation")
-        if type(ts[i + 1]) not in _AR_CLASSES:
+        if type(_unwrap(ts[i + 1])[0]) not in _AR_CLASSES:
             raise ValueError(
                 "only affine / RQ-spline autoregressive layers are fused")
 
@@ -79,6 +89,7 @@ def _extract(flow, dtype):
     ref_cfg = None
     for i in range(0, len(ts), 2):
         perm, ar = ts[i], ts[i + 1]
+        ar, wrapped = _unwrap(ar)
         if not isinstance(perm, Permutation) or perm.dim != 1:
             raise ValueError("layer must start with a feature Permutation")
         if type(ar) is MaskedAffineAutoregressiveTransform:
@@ -123,6 +134,7 @@ def _extract(flow, dtype):
         layer_static.append(MAFLayerStatic(
             perm_rows=tuple(int(v) for v in p),
             inv_perm_rows=tuple(int(v) for v in np.argsort(p)),
+            wrapped=wrapped,
         ))
 
         wis.append(_masked_weight_T(made.initial_layer))          # [H, D]

@@ -131,3 +131,32 @@ def test_nsf_ar_fuses_and_matches_xla():
         features=4, hidden_features=16, num_layers=2, num_bins=4,
         use_linear_layers=True, key=jax.random.key(1),
         rng=np.random.default_rng(1)))
+
+
+def test_iaf_fuses_and_matches_xla():
+    """InverseTransform-wrapped AR layers (IAF): single MADE pass to
+    sample, fixed point for log_prob — the kernel swaps the elementwise
+    direction per branch."""
+    from nflows_tpu.models import InverseAutoregressiveFlow
+
+    flow = InverseAutoregressiveFlow(features=5, hidden_features=32,
+                                     num_layers=3, num_blocks_per_layer=2,
+                                     key=jax.random.key(0))
+    assert can_fuse_maf(flow)
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(80, 5)),
+                    dtype=jnp.float32)
+    y_ref, lad_ref = flow.transform.forward(x)
+    y_f, lad_f = fused.forward(x)
+    # the forward here is the FIXED-POINT direction; an untrained IAF
+    # amplifies outliers, so compare relatively
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-3)
+    s_ref = flow.sample(jax.random.key(3), 32)
+    s_f = fused.sample(jax.random.key(3), 32)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(flow.log_prob(x)),
+                               np.asarray(fused.log_prob(x)),
+                               rtol=1e-4, atol=1e-3)
