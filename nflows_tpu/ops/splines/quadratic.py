@@ -156,6 +156,17 @@ def unconstrained_quadratic_spline(
     num_bins = unnormalized_widths.shape[-1]
     assert unnormalized_heights.shape[-1] == num_bins - 1
 
+    from nflows_tpu import config
+    if config.use_pallas_splines():
+        from nflows_tpu.ops.pallas.quadratic_spline import (
+            quadratic_spline_pallas,
+        )
+        return quadratic_spline_pallas(
+            inputs, unnormalized_widths, unnormalized_heights,
+            inverse=inverse, tail_bound=tail_bound,
+            min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        )
+
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
     spline_out, spline_lad = quadratic_spline(
         inputs=jnp.clip(inputs, -tail_bound, tail_bound),
