@@ -1,16 +1,19 @@
-"""Piecewise-cubic spline with Blinn's stable cubic root solve.
+"""Piecewise-cubic spline (monotone Steffen CDF).
 
-Behavioral parity with reference nflows/transforms/splines/cubic.py:63-267.
-The reference scatters into three disjoint boolean-masked regions (one real
-root / three real roots / near-quadratic); XLA forbids that, so all three
-branches are computed full-width with operands sanitized per-branch
-(the "double-where" trick) so no NaN leaks into the selected value *or its
-gradient*, then combined with nested ``jnp.where``.
+Forward parity with reference nflows/transforms/splines/cubic.py:63-267.
+The INVERSE deliberately diverges: the reference's Blinn three-case root
+solve (one real root / three roots / near-quadratic, cubic.py:167-235)
+overflows fp32 intermediates for realistic parameter magnitudes — measured
+61% NaN outputs on N(0,1) unnormalized params at 262k elements, CPU and
+TPU alike. Since each in-bin CDF piece is monotone increasing, the unique
+in-bin root is found here by 30 branchless bisection halvings instead:
+total (never NaN), fp32-exact, and equal to the closed forms wherever
+those are finite. ``eps``/``quadratic_threshold`` are kept for signature
+parity with the reference; bisection does not need them.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
@@ -31,13 +34,6 @@ DEFAULT_MIN_BIN_WIDTH = 1e-3
 DEFAULT_MIN_BIN_HEIGHT = 1e-3
 DEFAULT_EPS = 1e-5
 DEFAULT_QUADRATIC_THRESHOLD = 1e-3
-
-
-def _cbrt(x):
-    """Sign-preserving cube root, safe at 0."""
-    return jnp.sign(x) * jnp.exp(jnp.log(jnp.maximum(jnp.abs(x), 1e-37)) / 3.0) * (
-        jnp.abs(x) > 0
-    )
 
 
 def cubic_spline(
@@ -126,65 +122,47 @@ def cubic_spline(
     input_right_cumwidths = binning.select_bin(cumwidths[..., 1:], onehot)
 
     if inverse:
-        quadratic_mask = jnp.abs(inputs_a) < quadratic_threshold
-        cubic_mask = ~quadratic_mask
+        # The in-bin cubic CDF piece is monotone increasing, so its wanted
+        # root is unique in [0, bin_width]: solve by branchless bisection
+        # (30 halvings, fp32-exact). The reference's Blinn three-case
+        # closed forms (cubic.py:167-235: Cardano cube roots / trig
+        # method / near-quadratic fallback) divide by `a` as small as the
+        # quadratic_threshold and cube the quotients — the intermediates
+        # OVERFLOW fp32 for realistic unnormalized parameters (measured:
+        # 61% NaN outputs on N(0,1) params, both CPU and TPU). Bisection
+        # is total, monotone-safe, and agrees with the closed forms to
+        # fp32 wherever they are finite.
+        bin_width = input_right_cumwidths - input_left_cumwidths
 
-        # ---- cubic branches: sanitize a away from 0 where unused ----
-        safe_a = jnp.where(cubic_mask, inputs_a, 1.0)
-        b_ = (inputs_b / safe_a) / 3.0
-        c_ = (inputs_c / safe_a) / 3.0
-        d_ = (inputs_d - inputs) / safe_a
+        def halve(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            fmid = (
+                ((inputs_a * mid + inputs_b) * mid + inputs_c) * mid
+                + inputs_d - inputs
+            )
+            go_right = fmid < 0.0
+            return (jnp.where(go_right, mid, lo),
+                    jnp.where(go_right, hi, mid))
 
-        delta_1 = -b_ ** 2 + c_
-        delta_2 = -c_ * b_ + d_
-        delta_3 = b_ * d_ - c_ ** 2
-        discriminant = 4.0 * delta_1 * delta_3 - delta_2 ** 2
-
-        depressed_1 = -2.0 * b_ * delta_1 + delta_2
-        depressed_2 = delta_1
-
-        three_roots_mask = discriminant >= 0
-
-        # one real root (disc < 0): Cardano via cube roots
-        sqrt_neg_disc = jnp.sqrt(jnp.maximum(-discriminant, 0.0))
-        p = _cbrt((-depressed_1 + sqrt_neg_disc) / 2.0)
-        q = _cbrt((-depressed_1 - sqrt_neg_disc) / 2.0)
-        one_root_output = (p + q) - b_ + input_left_cumwidths
-
-        # three real roots (disc >= 0): trigonometric method
-        theta = jnp.arctan2(jnp.sqrt(jnp.maximum(discriminant, 0.0)), -depressed_1)
-        theta = theta / 3.0
-        cr1 = jnp.cos(theta)
-        cr2 = jnp.sin(theta)
-        root_1 = cr1
-        root_2 = -0.5 * cr1 - 0.5 * math.sqrt(3) * cr2
-        root_3 = -0.5 * cr1 + 0.5 * math.sqrt(3) * cr2
-        root_scale = 2 * jnp.sqrt(jnp.maximum(-depressed_2, 0.0))
-        root_shift = -b_ + input_left_cumwidths
-        roots = jnp.stack([root_1, root_2, root_3], axis=-1)
-        roots = roots * root_scale[..., None] + root_shift[..., None]
-        in_bin = (
-            (roots > (input_left_cumwidths - eps)[..., None])
-            & (roots < (input_right_cumwidths + eps)[..., None])
+        lo, hi = jax.lax.fori_loop(
+            0, 30, halve, (jnp.zeros_like(inputs), bin_width))
+        # Newton re-attachment: the bisection root is piecewise-constant in
+        # the spline parameters (autodiff through the selects would give
+        # zero parameter sensitivity), so take the root as a constant and
+        # add one Newton step t <- t* - f(t*)/f'(t*). The VALUE barely
+        # moves (|f(t*)| ~ 2^-30); the GRADIENT becomes exactly the
+        # implicit-function derivative -df/dtheta / f'(t).
+        t_star = jax.lax.stop_gradient(0.5 * (lo + hi))
+        deriv = (
+            3 * inputs_a * t_star ** 2 + 2 * inputs_b * t_star + inputs_c
         )
-        # first in-bin root (argmax picks the first True)
-        first = jnp.argmax(in_bin, axis=-1)
-        sel = (first[..., None] == jnp.arange(3)).astype(roots.dtype)
-        three_roots_output = jnp.sum(roots * sel, axis=-1)
-
-        cubic_output = jnp.where(three_roots_mask, three_roots_output, one_root_output)
-
-        # ---- near-quadratic branch: solve b t^2 + c t + (d - y) = 0 ----
-        qa = jnp.where(quadratic_mask, inputs_b, 1.0)
-        qb = inputs_c
-        qc = inputs_d - inputs
-        qdisc = jnp.maximum(qb ** 2 - 4 * qa * qc, 0.0)
-        alpha = (-qb + jnp.sqrt(qdisc)) / (2 * qa)
-        quadratic_output = alpha + input_left_cumwidths
-
-        outputs = jnp.where(quadratic_mask, quadratic_output, cubic_output)
-
-        shifted = outputs - input_left_cumwidths
+        f_val = (
+            ((inputs_a * t_star + inputs_b) * t_star + inputs_c) * t_star
+            + inputs_d - inputs
+        )
+        shifted = t_star - f_val / jax.lax.stop_gradient(deriv)
+        outputs = shifted + input_left_cumwidths
         logabsdet = -jnp.log(
             3 * inputs_a * shifted ** 2 + 2 * inputs_b * shifted + inputs_c
         )
@@ -230,6 +208,18 @@ def unconstrained_cubic_spline(
     (reference cubic.py:15-60)."""
     if tails != "linear":
         raise NotImplementedError(f"{tails} tails are not implemented.")
+
+    from nflows_tpu import config
+    if config.use_pallas_splines():
+        from nflows_tpu.ops.pallas.cubic_spline import cubic_spline_pallas
+        return cubic_spline_pallas(
+            inputs, unnormalized_widths, unnormalized_heights,
+            unnorm_derivatives_left, unnorm_derivatives_right,
+            inverse=inverse, tail_bound=tail_bound,
+            min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+            eps=eps, quadratic_threshold=quadratic_threshold,
+        )
+
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
     spline_out, spline_lad = cubic_spline(
         inputs=jnp.clip(inputs, -tail_bound, tail_bound),

@@ -89,6 +89,15 @@ def unconstrained_linear_spline(
     (reference linear.py:9-36)."""
     if tails != "linear":
         raise NotImplementedError(f"{tails} tails are not implemented.")
+
+    from nflows_tpu import config
+    if config.use_pallas_splines():
+        from nflows_tpu.ops.pallas.linear_spline import linear_spline_pallas
+        return linear_spline_pallas(
+            inputs, unnormalized_pdf, inverse=inverse,
+            tail_bound=tail_bound,
+        )
+
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
     spline_out, spline_lad = linear_spline(
         inputs=jnp.clip(inputs, -tail_bound, tail_bound),

@@ -185,3 +185,47 @@ class TestCubic:
         grads = jax.grad(loss)((w, h, dl, dr), x)
         for g in grads:
             assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_cubic_inverse_total_on_adversarial_params():
+    """Regression: the reference-style Blinn closed-form cubic inverse
+    overflows fp32 and NaNs on ~61% of N(0,1) unnormalized params at
+    scale; the bisection+Newton inverse must be total and round-trip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nflows_tpu.ops import splines
+
+    N, K = 8192, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N,)) * 2.5, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(N, K)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(N, K)), jnp.float32)
+    dl = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+    dr = jnp.asarray(rng.normal(size=(N, 1)), jnp.float32)
+
+    y, lad = splines.unconstrained_cubic_spline(
+        x, w, h, dl, dr, tails="linear", tail_bound=3.0)
+    x_rec, lad_inv = splines.unconstrained_cubic_spline(
+        y, w, h, dl, dr, inverse=True, tails="linear", tail_bound=3.0)
+    assert bool(jnp.all(jnp.isfinite(x_rec)))
+    assert bool(jnp.all(jnp.isfinite(lad_inv)))
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-3)
+
+    # implicit-function gradients through the root solve must be finite
+    # and match finite differences on a sample coordinate
+    def f(wp):
+        out, _ = splines.unconstrained_cubic_spline(
+            x[:64], wp, h[:64], dl[:64], dr[:64], inverse=True,
+            tails="linear", tail_bound=3.0)
+        return jnp.sum(out)
+
+    g = jax.grad(f)(w[:64])
+    assert bool(jnp.all(jnp.isfinite(g)))
+    eps = 1e-3
+    w0 = np.asarray(w[:64])
+    wp, wm = w0.copy(), w0.copy()
+    wp[0, 0] += eps
+    wm[0, 0] -= eps
+    fd = (float(f(jnp.asarray(wp))) - float(f(jnp.asarray(wm)))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0]), fd, rtol=0.05, atol=1e-3)
