@@ -229,3 +229,41 @@ def test_cubic_inverse_total_on_adversarial_params():
     wm[0, 0] -= eps
     fd = (float(f(jnp.asarray(wp))) - float(f(jnp.asarray(wm)))) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 0]), fd, rtol=0.05, atol=1e-3)
+
+
+def test_all_spline_families_total_at_adversarial_scale():
+    """Every spline family must stay finite for 3-sigma-scale unnormalized
+    params at volume (the regime where the cubic closed forms NaN'd).
+    Pinned so a future 'optimization' cannot reintroduce fragility."""
+    import jax.numpy as jnp
+    import numpy as np
+    from nflows_tpu.ops import splines
+
+    N, K = 16384, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N,)) * 2.5, jnp.float32)
+
+    def arr(shape):
+        return jnp.asarray(rng.normal(size=shape) * 3.0, jnp.float32)
+
+    cases = {
+        "linear": lambda inv: splines.unconstrained_linear_spline(
+            x, arr((N, K)), inverse=inv, tails="linear", tail_bound=3.0),
+        "quadratic": lambda inv: splines.unconstrained_quadratic_spline(
+            x, arr((N, K)), arr((N, K - 1)), inverse=inv, tails="linear",
+            tail_bound=3.0),
+        "cubic": lambda inv: splines.unconstrained_cubic_spline(
+            x, arr((N, K)), arr((N, K)), arr((N, 1)), arr((N, 1)),
+            inverse=inv, tails="linear", tail_bound=3.0),
+        "rq": lambda inv: splines.unconstrained_rational_quadratic_spline(
+            x, arr((N, K)), arr((N, K)), arr((N, K - 1)), inverse=inv,
+            tails="linear", tail_bound=3.0),
+        "lrs": lambda inv: splines.unconstrained_linear_rational_spline(
+            x, arr((N, K)), arr((N, K)), arr((N, K - 1)), arr((N, K)),
+            inverse=inv, tails="linear", tail_bound=3.0),
+    }
+    for name, f in cases.items():
+        for inv in (False, True):
+            o, l = f(inv)
+            assert bool(jnp.all(jnp.isfinite(o))), (name, inv)
+            assert bool(jnp.all(jnp.isfinite(l))), (name, inv)
