@@ -48,6 +48,12 @@ class CompiledFlow:
         # not qualify; auto mode (None) also skips flows whose resident
         # weights would not comfortably fit the kernel's VMEM budget, and
         # falls back to the XLA endpoints rather than failing.
+        # Numerics: the kernel and the XLA chain are two independent fp32
+        # programs on hardware whose exp is ~39 ulp, so trained (peaked)
+        # splines can disagree by up to a few 1e-2 nats in log_prob on
+        # tail samples near bin edges (measured 0.03 worst-case at 4k
+        # samples; typical agreement 1e-4). Pass use_fused=False where
+        # exact agreement with the XLA chain is required.
         self._fused = None
         if use_fused is None or use_fused:
             self._fused = self._try_build_fused(flow, required=bool(use_fused))
