@@ -165,3 +165,27 @@ def test_compiled_flow_fused_maf_and_fallbacks():
     assert CompiledFlow(nvp, batch_size=8, features=4)._fused is None
     with pytest.raises(ValueError):
         CompiledFlow(nvp, batch_size=8, features=4, use_fused=True)
+
+
+def test_compiled_flow_fused_vmem_budget_guard(monkeypatch):
+    """Auto mode silently falls back to XLA endpoints when the stacked
+    weights exceed the kernel's VMEM budget; explicit use_fused=True
+    raises a clear error instead of failing at request time."""
+    import numpy as np
+    import pytest
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.serving import CompiledFlow
+    import nflows_tpu.ops.pallas.rq_spline as rqk
+
+    flow = NeuralSplineFlow(features=6, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    monkeypatch.setattr(CompiledFlow, "_FUSED_VMEM_BUDGET", 1024)
+    monkeypatch.setattr(rqk, "pallas_available", lambda: True)
+    served = CompiledFlow(flow, batch_size=8, features=6)
+    assert served._fused is None  # silent fallback
+    x = jnp.ones((8, 6))
+    assert served.log_prob(x).shape == (8,)  # XLA endpoint still works
+    with pytest.raises(ValueError):
+        CompiledFlow(flow, batch_size=8, features=6, use_fused=True)
