@@ -6,7 +6,11 @@ the reference's kwargs-as-config philosophy (SURVEY.md §5).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
+
+_tls = threading.local()
 
 _state = {
     # Opt-in: route RQ- and LRS-spline evaluation through the fused
@@ -24,11 +28,30 @@ _state = {
 }
 
 
+@contextlib.contextmanager
+def _suspend_pallas_splines():
+    """Disable the Pallas-spline dispatch in this thread's dynamic scope.
+
+    Used by the kernels' ``custom_vjp`` backward passes: they differentiate
+    the XLA reference implementation, and WITHOUT this the reference's own
+    config dispatch would re-enter the Pallas kernel — whose backward calls
+    the reference again, recursing without a base case. (Dispatch decisions
+    happen at Python trace time, so a thread-local is a sound guard.)"""
+    prev = getattr(_tls, "suspend_pallas", False)
+    _tls.suspend_pallas = True
+    try:
+        yield
+    finally:
+        _tls.suspend_pallas = prev
+
+
 def use_pallas_splines(enable=None):
-    """Get/set whether RQ/LRS-spline evaluation uses the fused Pallas kernels."""
+    """Get/set whether spline evaluation uses the fused Pallas kernels."""
     if enable is not None:
         _state["use_pallas_splines"] = bool(enable)
         return _state["use_pallas_splines"]
+    if getattr(_tls, "suspend_pallas", False):
+        return False
     setting = _state["use_pallas_splines"]
     if setting is None:
         setting = bool(os.environ.get("NFLOWS_TPU_ENABLE_PALLAS"))

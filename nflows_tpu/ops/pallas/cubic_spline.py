@@ -37,8 +37,7 @@ _TILE = _LANES * _ROWS
 
 
 def _kernel(x_ref, w_ref, h_ref, dl_ref, dr_ref, out_ref, lad_ref, *,
-            num_bins, inverse, tail_bound, min_bin_width, min_bin_height,
-            eps, quadratic_threshold):
+            num_bins, inverse, tail_bound, min_bin_width, min_bin_height):
     K = num_bins
     B = tail_bound
     x_orig = x_ref[...]                       # [R, 128]
@@ -148,8 +147,7 @@ def _kernel(x_ref, w_ref, h_ref, dl_ref, dr_ref, out_ref, lad_ref, *,
 
 
 def _pallas_impl(x_flat, w_t, h_t, dl_t, dr_t, *, num_bins, inverse,
-                 tail_bound, min_bin_width, min_bin_height, eps,
-                 quadratic_threshold, interpret):
+                 tail_bound, min_bin_width, min_bin_height, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -166,7 +164,6 @@ def _pallas_impl(x_flat, w_t, h_t, dl_t, dr_t, *, num_bins, inverse,
     kernel = functools.partial(
         _kernel, num_bins=num_bins, inverse=inverse, tail_bound=tail_bound,
         min_bin_width=min_bin_width, min_bin_height=min_bin_height,
-        eps=eps, quadratic_threshold=quadratic_threshold,
     )
 
     def spec(k_dim):
@@ -227,8 +224,7 @@ def _cubic_pallas_core(inputs, uw, uh, dl, dr, inverse, tail_bound,
     out, lad = _pallas_impl(
         x, w_t, h_t, dl_t, dr_t, num_bins=K, inverse=inverse,
         tail_bound=tail_bound, min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height, eps=eps,
-        quadratic_threshold=quadratic_threshold, interpret=interpret,
+        min_bin_height=min_bin_height, interpret=interpret,
     )
     if pad_n:
         out = out[:N]
@@ -247,12 +243,14 @@ def _cubic_fwd(inputs, uw, uh, dl, dr, inverse, tail_bound, min_bin_width,
 def _cubic_bwd(inverse, tail_bound, min_bin_width, min_bin_height, eps,
                quadratic_threshold, interpret, residuals, cotangents):
     inputs, uw, uh, dl, dr = residuals
-    _, vjp = jax.vjp(
-        lambda i, w, h, l, r: _reference(
-            i, w, h, l, r, inverse, tail_bound, min_bin_width,
-            min_bin_height, eps, quadratic_threshold),
-        inputs, uw, uh, dl, dr,
-    )
+    from nflows_tpu.config import _suspend_pallas_splines
+    with _suspend_pallas_splines():
+        _, vjp = jax.vjp(
+            lambda i, w, h, l, r: _reference(
+                i, w, h, l, r, inverse, tail_bound, min_bin_width,
+                min_bin_height, eps, quadratic_threshold),
+            inputs, uw, uh, dl, dr,
+        )
     return vjp(cotangents)
 
 

@@ -164,8 +164,12 @@ def _lin_fwd(inputs, up, inverse, tail_bound, interpret):
 
 def _lin_bwd(inverse, tail_bound, interpret, residuals, cotangents):
     inputs, up = residuals
-    _, vjp = jax.vjp(
-        lambda i, p: _reference(i, p, inverse, tail_bound), inputs, up)
+    from nflows_tpu.config import _suspend_pallas_splines
+    with _suspend_pallas_splines():
+        _, vjp = jax.vjp(
+            lambda i, p: _reference(i, p, inverse, tail_bound),
+            inputs, up,
+        )
     return vjp(cotangents)
 
 

@@ -247,12 +247,14 @@ def _lrs_fwd(inputs, uw, uh, ud, ul, inverse, tail_bound, min_bin_width,
 def _lrs_bwd(inverse, tail_bound, min_bin_width, min_bin_height,
              min_derivative, min_lambda, interpret, residuals, cotangents):
     inputs, uw, uh, ud, ul = residuals
-    _, vjp = jax.vjp(
-        lambda i, w, h, d, l: _reference(i, w, h, d, l, inverse, tail_bound,
-                                         min_bin_width, min_bin_height,
-                                         min_derivative, min_lambda),
-        inputs, uw, uh, ud, ul,
-    )
+    from nflows_tpu.config import _suspend_pallas_splines
+    with _suspend_pallas_splines():
+        _, vjp = jax.vjp(
+            lambda i, w, h, d, l: _reference(i, w, h, d, l, inverse, tail_bound,
+                                             min_bin_width, min_bin_height,
+                                             min_derivative, min_lambda),
+            inputs, uw, uh, ud, ul,
+        )
     return vjp(cotangents)
 
 

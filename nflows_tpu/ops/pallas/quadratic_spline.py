@@ -217,11 +217,13 @@ def _q_fwd(inputs, uw, uh, inverse, tail_bound, min_bin_width,
 def _q_bwd(inverse, tail_bound, min_bin_width, min_bin_height, interpret,
            residuals, cotangents):
     inputs, uw, uh = residuals
-    _, vjp = jax.vjp(
-        lambda i, w, h: _reference(i, w, h, inverse, tail_bound,
-                                   min_bin_width, min_bin_height),
-        inputs, uw, uh,
-    )
+    from nflows_tpu.config import _suspend_pallas_splines
+    with _suspend_pallas_splines():
+        _, vjp = jax.vjp(
+            lambda i, w, h: _reference(i, w, h, inverse, tail_bound,
+                                       min_bin_width, min_bin_height),
+            inputs, uw, uh,
+        )
     return vjp(cotangents)
 
 

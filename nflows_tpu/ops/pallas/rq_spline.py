@@ -247,12 +247,14 @@ def _rq_fwd(inputs, uw, uh, ud, inverse, tail_bound, min_bin_width,
 def _rq_bwd(inverse, tail_bound, min_bin_width, min_bin_height,
             min_derivative, interpret, residuals, cotangents):
     inputs, uw, uh, ud = residuals
-    _, vjp = jax.vjp(
-        lambda i, w, h, d: _reference(i, w, h, d, inverse, tail_bound,
-                                      min_bin_width, min_bin_height,
-                                      min_derivative),
-        inputs, uw, uh, ud,
-    )
+    from nflows_tpu.config import _suspend_pallas_splines
+    with _suspend_pallas_splines():
+        _, vjp = jax.vjp(
+            lambda i, w, h, d: _reference(i, w, h, d, inverse, tail_bound,
+                                          min_bin_width, min_bin_height,
+                                          min_derivative),
+            inputs, uw, uh, ud,
+        )
     return vjp(cotangents)
 
 

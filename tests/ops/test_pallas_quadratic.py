@@ -94,3 +94,44 @@ def test_dispatch_via_config(monkeypatch):
                                                  tail_bound=3.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]),
                                atol=2e-5)
+
+
+def test_gradients_terminate_with_dispatch_enabled(monkeypatch):
+    """Regression: with set_pallas_splines(True), each kernel's custom_vjp
+    backward differentiates the XLA reference — which must NOT re-dispatch
+    to the kernel (the recursion had no base case). The suspension guard in
+    config makes one grad call dispatch the kernel exactly once."""
+    from nflows_tpu import config
+    import nflows_tpu.ops.pallas.quadratic_spline as qk
+    import nflows_tpu.ops.pallas.rq_spline as rqk
+
+    hits = []
+    real = qk.quadratic_spline_pallas
+
+    def recorder(*args, **kw):
+        hits.append(1)
+        assert len(hits) <= 2, "pallas dispatch re-entered from its own vjp"
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    monkeypatch.setattr(qk, "quadratic_spline_pallas", recorder)
+    monkeypatch.setattr(rqk, "pallas_available", lambda: True)
+    x, w, h = _params(4)
+    config.set_pallas_splines(True)
+    try:
+        def loss(w):
+            out, lad = splines.unconstrained_quadratic_spline(
+                x, w, h, tails="linear", tail_bound=3.0)
+            return jnp.sum(out) + jnp.sum(lad)
+
+        g = jax.grad(loss)(w)
+    finally:
+        config.set_pallas_splines(False)
+    assert hits and len(hits) <= 2, hits
+    # gradient equals the plain XLA gradient
+    def loss_ref(w):
+        out, lad = splines.unconstrained_quadratic_spline(
+            x, w, h, tails="linear", tail_bound=3.0)
+        return jnp.sum(out) + jnp.sum(lad)
+    g_ref = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
