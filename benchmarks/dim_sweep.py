@@ -61,10 +61,9 @@ def main():
 
     for d in args.dims:
         sps_u = bench_dim(d, stacked=False, random_perms=True)
-        sps_s = bench_dim(d, stacked=(d % 2 == 0), random_perms=True) \
-            if d % 2 == 0 else float("nan")
+        sps_s = bench_dim(d, stacked=True, random_perms=True)
         print(f"d={d:3d}: unrolled {sps_u:7,.0f} steps/s"
-              + (f"   stacked {sps_s:7,.0f} steps/s" if d % 2 == 0 else ""),
+              f"   stacked {sps_s:7,.0f} steps/s",
               flush=True)
     # permutation-type probe at the anomalous dim
     sps_rand = bench_dim(8, stacked=False, random_perms=True)

@@ -45,11 +45,11 @@ def run_ours(features):
         features=features, hidden_features=HIDDEN, num_layers=LAYERS,
         num_blocks_per_layer=BLOCKS, num_bins=BINS, tail_bound=3.0,
         key=jax.random.key(0), rng=np.random.default_rng(0),
-        # scan-stacked production path for even dims (odd dims alternate
-        # 3/4-4/3 splits and cannot stack); also sidesteps the unrolled
-        # chain's permutation-gather pathology at d=8 (benchmarks/
-        # dim_sweep.py: d=8 unrolled 2,303 vs stacked 3,406 steps/s)
-        stacked=(features % 2 == 0),
+        # scan-stacked production path for ALL dims (odd dims use the
+        # fixed ceil/floor split since round 3); also sidesteps the
+        # unrolled chain's permutation-gather pathology at d=8
+        # (benchmarks/dim_sweep.py: d=8 unrolled 2,303 vs stacked 3,406)
+        stacked=True,
     )
     opt = optax.adam(3e-4)
     state = create_train_state(flow, opt)

@@ -222,7 +222,23 @@ def from_torch(ours, ref):
     if name == "ConvResidualBlock":
         return _import_conv_residual_block(ours, ref)
     if name == "MaskedFeedforwardBlock":
-        return ours.replace(linear=_import_dense(ours.linear, ref.linear))
+        updates = {"linear": _import_dense(ours.linear, ref.linear)}
+        has_ours = ours.batch_norm is not None
+        has_ref = getattr(ref, "batch_norm", None) is not None
+        if has_ours != has_ref:
+            raise ValueError(
+                "use_batch_norm mismatch importing feedforward MADE block: "
+                f"ours={has_ours}, reference={has_ref}"
+            )
+        if has_ours:
+            updates["batch_norm"] = ours.batch_norm.replace(
+                scale=_copy_array(ours.batch_norm.scale, ref.batch_norm.weight,
+                                  what="BatchNorm.weight"),
+                offset=_copy_array(ours.batch_norm.offset, ref.batch_norm.bias,
+                                   what="BatchNorm.bias"),
+                eps=float(ref.batch_norm.eps),
+            )
+        return ours.replace(**updates)
     if name == "MLP":
         if len(ours.hidden_layers) != len(ref._hidden_layers):
             raise ValueError(
@@ -259,6 +275,28 @@ def from_torch(ours, ref):
         ))
     if isinstance(ours, T.InverseTransform):
         return ours.replace(transform=from_torch(ours.transform, ref._transform))
+    from nflows_tpu.transforms.stacked import StackedTransform, stack_transforms
+    if isinstance(ours, StackedTransform):
+        # a scan-stacked chain mirrors a flat reference CompositeTransform:
+        # unstack, import layer by layer, restack
+        layers = ours.layers()
+        refs = list(ref._transforms)
+        per = [len(l.transforms) if isinstance(l, T.CompositeTransform) else 1
+               for l in layers]
+        if sum(per) != len(refs):
+            raise ValueError(
+                f"stacked chain covers {sum(per)} transforms but the "
+                f"reference CompositeTransform has {len(refs)}")
+        new_layers, i = [], 0
+        for l, n in zip(layers, per):
+            if isinstance(l, T.CompositeTransform):
+                new_layers.append(l.replace(transforms=tuple(
+                    from_torch(o, r)
+                    for o, r in zip(l.transforms, refs[i:i + n]))))
+            else:
+                new_layers.append(from_torch(l, refs[i]))
+            i += n
+        return stack_transforms(new_layers)
 
     # --- transforms with renamed / recomputed fields ------------------------
     # (LU/QR/SVD/Householder/1x1-conv all share the reference's field names,

@@ -34,13 +34,23 @@ class NeuralSplineFlow(Flow):
     """NSF (coupling) for tabular data: RQ splines by default, or the
     linear-rational family (``spline="lrs"``, beyond the reference)."""
 
+    # Measured stacked-vs-unrolled crossover (benchmarks/bench_stacked.py,
+    # BASELINE.md round 2/3): the scan-stacked chain wins throughput AND
+    # compile time up to hidden=256 (+18%, ~50x compile), the unrolled
+    # chain wins at hidden>=512 (1.8x at batch 512). stacked=None picks
+    # the winner from the conditioner width; pass True/False to override.
+    STACKED_MAX_HIDDEN = 384
+
     def __init__(self, features, hidden_features, num_layers=10,
                  num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
                  context_features=None, use_random_permutations=True,
                  key=None, activation=jax.nn.relu, dropout_probability=0.0,
                  batch_norm_within_layers=False, rng=None, spline="rq",
-                 stacked=False):
+                 stacked=None):
         key = ensure_key(key)
+        if stacked is None:
+            stacked = (hidden_features <= self.STACKED_MAX_HIDDEN
+                       and (features % 2 == 0 or use_random_permutations))
         keys = jax.random.split(key, num_layers)
         if rng is None:
             # derive permutation/1x1-conv randomness from `key` so
@@ -48,12 +58,20 @@ class NeuralSplineFlow(Flow):
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(key)).ravel())
 
-        if stacked and features % 2:
-            # odd feature counts alternate 3/4 - 4/3 splits: leaf shapes
-            # differ between layers, so the scan-stacked layout can't apply
+        # Odd feature counts: alternating-parity masks would give 11/10 vs
+        # 10/11 splits with differing leaf shapes, which the scan-stacked
+        # layout (and the fused megakernel) can't take. Since a random
+        # feature permutation precedes EVERY coupling, a fixed
+        # ceil(d/2)/floor(d/2) split in every layer mixes just as well —
+        # so the stacked path pins the mask parity and stays homogeneous
+        # (round-3 change; HEPMASS/MINIBOONE/BSDS300 now run stacked).
+        fixed_parity = stacked and features % 2 == 1
+        if fixed_parity and not use_random_permutations:
             raise ValueError(
-                "stacked=True requires an even feature count (alternating "
-                "masks must give identical split shapes in every layer)."
+                "stacked=True with an odd feature count requires "
+                "use_random_permutations=True: reversal preserves index "
+                "parity at odd d, so a fixed checkerboard mask would keep "
+                "the same features on the identity side in every layer."
             )
 
         layers = []
@@ -83,7 +101,8 @@ class NeuralSplineFlow(Flow):
             else:
                 raise ValueError(f"spline must be 'rq' or 'lrs', got {spline!r}")
             layers.append(coupling_cls(
-                mask=create_alternating_binary_mask(features, even=bool(i % 2)),
+                mask=create_alternating_binary_mask(
+                    features, even=False if fixed_parity else bool(i % 2)),
                 transform_net_create_fn=create_net,
                 num_bins=num_bins,
                 tails="linear",

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nflows_tpu.core.module import Module, buffer, static
+from nflows_tpu.nn.nets.resnet import _BatchScale
 from nflows_tpu.nn.primitives import Dense, Dropout, ensure_key
 
 __all__ = ["MaskedDense", "MaskedFeedforwardBlock", "MaskedResidualBlock", "MADE"]
@@ -101,9 +102,16 @@ class MaskedDense(Module):
 
 class MaskedFeedforwardBlock(Module):
     """BatchNorm? -> masked linear -> activation -> dropout
-    (reference made.py:75-123). Output width == input width."""
+    (reference made.py:75-123). Output width == input width.
+
+    Batch norm (reference made.py:95-99, eps 1e-3) normalizes per-feature
+    over the batch axis — it never mixes features, so the autoregressive
+    property is preserved. Like the ResidualNet conditioner, it uses
+    per-batch statistics with a learnable scale/offset (running-stats
+    inference mode lives at the flow level, transforms/normalization.py)."""
 
     linear: MaskedDense
+    batch_norm: Optional["_BatchScale"]
     dropout: Dropout
     activation: object = static()
 
@@ -111,12 +119,10 @@ class MaskedFeedforwardBlock(Module):
                  random_mask=False, key=None, activation=jax.nn.relu,
                  dropout_probability=0.0, use_batch_norm=False, rng=None):
         del context_features  # unused, kept for constructor parity
-        if use_batch_norm:
-            raise NotImplementedError(
-                "Feedforward MADE blocks don't support batch norm in nflows_tpu; "
-                "use residual blocks."
-            )
         in_degrees = np.asarray(in_degrees)
+        self.batch_norm = (
+            _BatchScale(len(in_degrees)) if use_batch_norm else None
+        )
         self.linear = MaskedDense(
             in_degrees=in_degrees,
             out_features=len(in_degrees),
@@ -134,7 +140,10 @@ class MaskedFeedforwardBlock(Module):
         return self.linear.degrees
 
     def __call__(self, inputs, context=None, key=None):
-        temps = self.linear(inputs)
+        temps = inputs
+        if self.batch_norm is not None:
+            temps = self.batch_norm(temps, axes=(0,))
+        temps = self.linear(temps)
         temps = self.activation(temps)
         return self.dropout(temps, key=key)
 
@@ -147,6 +156,8 @@ class MaskedResidualBlock(Module):
     linear_0: MaskedDense
     linear_1: MaskedDense
     context_layer: Optional[Dense]
+    batch_norm_0: Optional["_BatchScale"]
+    batch_norm_1: Optional["_BatchScale"]
     dropout: Dropout
     activation: object = static()
 
@@ -156,12 +167,6 @@ class MaskedResidualBlock(Module):
                  zero_initialization=True):
         if random_mask:
             raise ValueError("Masked residual block can't be used with random masks.")
-        if use_batch_norm:
-            raise NotImplementedError(
-                "Batch norm inside MADE blocks is not supported in nflows_tpu "
-                "(stateless conditioners); normalization transforms live at the "
-                "flow level instead."
-            )
         key = ensure_key(key)
         k0, k1, kc = jax.random.split(key, 3)
         in_degrees = np.asarray(in_degrees)
@@ -170,6 +175,10 @@ class MaskedResidualBlock(Module):
             Dense(context_features, features, key=kc)
             if context_features is not None else None
         )
+        # reference made.py:148-152: two per-feature batch norms (eps 1e-3);
+        # feature-wise normalization preserves the autoregressive property
+        self.batch_norm_0 = _BatchScale(features) if use_batch_norm else None
+        self.batch_norm_1 = _BatchScale(features) if use_batch_norm else None
         self.linear_0 = MaskedDense(
             in_degrees=in_degrees, out_features=features,
             autoregressive_features=autoregressive_features,
@@ -195,10 +204,15 @@ class MaskedResidualBlock(Module):
         return self.linear_1.degrees
 
     def __call__(self, inputs, context=None, key=None):
-        temps = self.activation(inputs)
+        temps = inputs
+        if self.batch_norm_0 is not None:
+            temps = self.batch_norm_0(temps, axes=(0,))
+        temps = self.activation(temps)
         temps = self.linear_0(temps)
         if context is not None:
             temps = temps + self.context_layer(context)
+        if self.batch_norm_1 is not None:
+            temps = self.batch_norm_1(temps, axes=(0,))
         temps = self.activation(temps)
         temps = self.dropout(temps, key=key)
         temps = self.linear_1(temps)

@@ -119,6 +119,8 @@ def _extract(flow, dtype):
                 raise ValueError("fused path requires residual MADE blocks")
             if blk.dropout.rate != 0.0:
                 raise ValueError("dropout MADE not fused")
+            if blk.batch_norm_0 is not None:
+                raise ValueError("batch-norm MADE not fused")
             if blk.activation is not jax.nn.relu:
                 raise ValueError("fused MADE requires relu activation")
 
@@ -186,7 +188,9 @@ class FusedMAF:
          self._transformer, self._spline_kw) = _extract(flow, dtype)
         self._lanes = lanes
         self._interpret = interpret
+        self._build_runners()
 
+    def _build_runners(self):
         def run(x_t, inverse):
             w = self._weights
             return maf_flow_kernel_call(
@@ -198,6 +202,15 @@ class FusedMAF:
 
         self._run_fwd = jax.jit(lambda x_t: run(x_t, False))
         self._run_inv = jax.jit(lambda x_t: run(x_t, True))
+
+    def with_lanes(self, lanes: int) -> "FusedMAF":
+        """A view of the same extracted weights with a different lane tile
+        (no re-extraction/host transfer)."""
+        import copy
+        view = copy.copy(self)
+        view._lanes = lanes
+        view._build_runners()
+        return view
 
     def _apply(self, inputs, inverse):
         n = inputs.shape[0]

@@ -225,7 +225,9 @@ class FusedNSF:
          self.features) = _extract(flow, dtype)
         self._lanes = lanes
         self._interpret = interpret
+        self._build_runners()
 
+    def _build_runners(self):
         def run(x_t, inverse):
             w = self._weights
             return nsf_flow_kernel_call(
@@ -236,6 +238,16 @@ class FusedNSF:
 
         self._run_fwd = jax.jit(lambda x_t: run(x_t, False))
         self._run_inv = jax.jit(lambda x_t: run(x_t, True))
+
+    def with_lanes(self, lanes: int) -> "FusedNSF":
+        """A view of the same extracted weights with a different lane tile
+        (no re-extraction/host transfer). Ragged batches pad up to one lane
+        tile, so size the tile to the request shape."""
+        import copy
+        view = copy.copy(self)
+        view._lanes = lanes
+        view._build_runners()
+        return view
 
     # -- transform contract ------------------------------------------------
 

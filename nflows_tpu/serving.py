@@ -14,12 +14,15 @@ Each endpoint compiles lazily on first use (a process that only serves
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["CompiledFlow"]
+
+logger = logging.getLogger(__name__)
 
 
 class CompiledFlow:
@@ -54,11 +57,39 @@ class CompiledFlow:
         # tail samples near bin edges (measured 0.03 worst-case at 4k
         # samples; typical agreement 1e-4). Pass use_fused=False where
         # exact agreement with the XLA chain is required.
-        self._fused = None
+        self._fused = None          # lane tile sized for log_prob requests
+        self._fused_sampling = None  # lane tile sized for sampling requests
         if use_fused is None or use_fused:
             self._fused = self._try_build_fused(flow, required=bool(use_fused))
+            if self._fused is not None:
+                if use_fused is None:
+                    # auto-selection changes serving numerics vs the XLA
+                    # chain by up to ~0.03 nats on trained peaked splines
+                    # (see the numerics note above) — say so once, and
+                    # expose `is_fused` so deployments can assert the path
+                    logger.info(
+                        "CompiledFlow auto-selected the fused %s megakernel "
+                        "path (numerics may differ from the XLA chain by up "
+                        "to ~1e-2 nats on tail samples; pass use_fused=False "
+                        "for exact XLA-chain agreement; check .is_fused)",
+                        type(self._fused).__name__,
+                    )
+                self._fused_sampling = (
+                    self._fused if self.num_samples == self.batch_size
+                    else self._fused.with_lanes(self._lane_tile(self.num_samples))
+                )
 
     _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap
+
+    @property
+    def is_fused(self) -> bool:
+        """True when requests run the whole-flow Pallas megakernel rather
+        than the AOT-compiled XLA chain."""
+        return self._fused is not None
+
+    @staticmethod
+    def _lane_tile(target: int) -> int:
+        return min(2048, max(128, -(-target // 128) * 128))
 
     def _try_build_fused(self, flow, required: bool):
         from nflows_tpu.ops.pallas.maf_fused import fuse_maf
@@ -74,9 +105,10 @@ class CompiledFlow:
 
         # size the lane tile to the actual request shapes (the kernels pad
         # ragged batches up to one lane tile — a 2048 default would make
-        # every batch-32 request compute 64x the needed work)
-        target = max(self.batch_size, self.num_samples)
-        lanes = min(2048, max(128, -(-target // 128) * 128))
+        # every batch-32 request compute 64x the needed work); log_prob
+        # views use batch_size, sampling views get their own num_samples
+        # tile via with_lanes in __init__
+        lanes = self._lane_tile(self.batch_size)
 
         errors = []
         for fuse in (fuse_nsf, fuse_maf):
@@ -94,7 +126,7 @@ class CompiledFlow:
                         "MB) exceed the fused kernel's VMEM budget; use "
                         "use_fused=False or a bf16 dtype")
                 errors.append("weights exceed fused VMEM budget")
-                return None
+                continue
             return fused
         if required:
             raise ValueError(
@@ -203,8 +235,8 @@ class CompiledFlow:
     def sample(self, key, context=None):
         key = self._check_key(key)
         self._check_context(context)
-        if self._fused is not None:
-            return self._fused.sample(key, self.num_samples)
+        if self._fused_sampling is not None:
+            return self._fused_sampling.sample(key, self.num_samples)
         if self.context_features is None:
             return self._get("sample")(self._flow, key)
         return self._get("sample")(self._flow, key, context)
@@ -212,8 +244,9 @@ class CompiledFlow:
     def sample_and_log_prob(self, key, context=None) -> Tuple:
         key = self._check_key(key)
         self._check_context(context)
-        if self._fused is not None:
-            return self._fused.sample_and_log_prob(key, self.num_samples)
+        if self._fused_sampling is not None:
+            return self._fused_sampling.sample_and_log_prob(
+                key, self.num_samples)
         if self.context_features is None:
             return self._get("sample_and_log_prob")(self._flow, key)
         return self._get("sample_and_log_prob")(self._flow, key, context)

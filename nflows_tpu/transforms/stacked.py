@@ -18,7 +18,7 @@ Why this matters on TPU:
 - The scanned body keeps the same MXU shapes every iteration, so weight
   layouts stay resident and the loop runs back-to-back on device.
 - The stacked ``[L, ...]`` parameter layout is exactly what the fused
-  Pallas whole-flow kernels (ops/pallas/nsf_megakernel.py) and
+  Pallas whole-flow kernels (ops/pallas/nsf_flow_kernel.py) and
   pipeline-parallel stage splitting consume.
 
 Semantics are IDENTICAL to ``CompositeTransform(layers)`` — verified

@@ -229,3 +229,77 @@ def test_shape_mismatch_raises(reference):
                                     key=jax.random.key(0))
     with pytest.raises(ValueError, match="shape mismatch"):
         from_torch(ours, ref)
+
+
+@pytest.mark.parametrize("use_residual_blocks", [False, True])
+def test_made_batch_norm_import(reference, use_residual_blocks):
+    """MADE blocks with use_batch_norm=True (reference made.py:90-160):
+    transplanted weights give identical train-mode outputs (our stateless
+    _BatchScale == torch BatchNorm1d batch-stats normalization)."""
+    import jax
+    from nflows.transforms.made import MADE as RefMADE
+    from nflows_tpu.interop import from_torch
+    from nflows_tpu.nn.made import MADE
+
+    torch.manual_seed(3)
+    ref = RefMADE(features=DIM, hidden_features=12, num_blocks=2,
+                  output_multiplier=2, use_residual_blocks=use_residual_blocks,
+                  use_batch_norm=True)
+    ref.train()
+    ours = MADE(features=DIM, hidden_features=12, num_blocks=2,
+                output_multiplier=2, use_residual_blocks=use_residual_blocks,
+                use_batch_norm=True, key=jax.random.key(0))
+    ours = from_torch(ours, ref)
+
+    x = _x(7)
+    ref_y = ref(torch.as_tensor(x)).detach().numpy()
+    our_y = np.asarray(ours(x))
+    np.testing.assert_allclose(our_y, ref_y, atol=1e-5)
+
+
+def test_stacked_chain_import(reference):
+    """StackedTransform (the scan-stacked production path — the default
+    for narrow NSF since round 3) imports from the reference's flat
+    CompositeTransform: unstack, import per layer, restack."""
+    import jax
+    from nflows import transforms as rt
+    from nflows.nn import nets as rnets
+    from nflows_tpu import transforms as ot
+    from nflows_tpu.nn import nets as onets
+    from nflows_tpu.interop import from_torch
+    from nflows_tpu.transforms.stacked import StackedTransform, stack_transforms
+
+    torch.manual_seed(5)
+    mask = np.array([1, -1, 1, -1], dtype=np.float32)
+
+    def ref_layer():
+        return [
+            rt.RandomPermutation(features=DIM),
+            rt.PiecewiseRationalQuadraticCouplingTransform(
+                mask=mask,
+                transform_net_create_fn=lambda i, o: rnets.ResidualNet(
+                    i, o, hidden_features=16, num_blocks=2),
+                num_bins=4, tails="linear", tail_bound=2.5),
+        ]
+
+    def our_layer(seed):
+        return ot.CompositeTransform([
+            ot.RandomPermutation(DIM, rng=np.random.default_rng(seed)),
+            ot.PiecewiseRationalQuadraticCouplingTransform(
+                mask=mask,
+                transform_net_create_fn=lambda i, o: onets.ResidualNet(
+                    i, o, hidden_features=16, num_blocks=2,
+                    key=jax.random.key(seed)),
+                num_bins=4, tails="linear", tail_bound=2.5),
+        ])
+
+    ref = rt.CompositeTransform(ref_layer() + ref_layer())
+    ours = stack_transforms([our_layer(0), our_layer(1)])
+    ours = from_torch(ours, ref)
+    assert isinstance(ours, StackedTransform)
+
+    x = _x(6)
+    ry, rl = ref.forward(torch.as_tensor(x))
+    oy, ol = ours.forward(x)
+    np.testing.assert_allclose(np.asarray(oy), ry.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ol), rl.detach().numpy(), atol=1e-5)

@@ -189,3 +189,54 @@ def test_compiled_flow_fused_vmem_budget_guard(monkeypatch):
     assert served.log_prob(x).shape == (8,)  # XLA endpoint still works
     with pytest.raises(ValueError):
         CompiledFlow(flow, batch_size=8, features=6, use_fused=True)
+
+
+def test_compiled_flow_is_fused_and_per_endpoint_lanes(caplog, monkeypatch):
+    """ADVICE round-2 items: public `is_fused`, a one-time info log on
+    auto-selection, and per-endpoint lane sizing (a small-batch log_prob
+    endpoint must not pad up to a large num_samples tile)."""
+    import logging
+
+    import numpy as np
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas import rq_spline
+    from nflows_tpu.serving import CompiledFlow
+
+    # auto mode only engages where a TPU is present; force the kernels into
+    # interpret mode so they still run on this CPU host
+    import functools
+
+    from nflows_tpu.ops.pallas import nsf_fused
+
+    monkeypatch.setattr(rq_spline, "pallas_available", lambda: True)
+    monkeypatch.setattr(nsf_fused, "fuse_nsf",
+                        functools.partial(nsf_fused.fuse_nsf, interpret=True))
+
+    flow = NeuralSplineFlow(features=6, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    with caplog.at_level(logging.INFO, logger="nflows_tpu.serving"):
+        served = CompiledFlow(flow, batch_size=32, features=6,
+                              num_samples=4096)
+    assert served.is_fused
+    assert any("auto-selected" in r.message for r in caplog.records)
+    assert not CompiledFlow(flow, batch_size=32, features=6,
+                            use_fused=False).is_fused
+    # log_prob view tiles to the batch, sampling view to num_samples
+    assert served._fused._lanes == 128
+    assert served._fused_sampling._lanes == 2048
+    # the two views share the extracted weights (no second host transfer)
+    assert served._fused_sampling._weights is served._fused._weights
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(32, 6)),
+                    dtype=jnp.float32)
+    lp = served.log_prob(x)
+    assert lp.shape == (32,)
+    s = served.sample(jax.random.key(2))
+    assert s.shape == (4096, 6)
+    # explicit use_fused=True must not log the auto-selection notice
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="nflows_tpu.serving"):
+        CompiledFlow(flow, batch_size=32, features=6, use_fused=True)
+    assert not any("auto-selected" in r.message for r in caplog.records)

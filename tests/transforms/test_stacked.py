@@ -21,7 +21,8 @@ def _nsf_pair(features=6, num_layers=4, hidden=32, seed=0):
     kw = dict(features=features, hidden_features=hidden, num_layers=num_layers,
               num_blocks_per_layer=2, num_bins=4, tail_bound=3.0,
               key=jax.random.key(seed))
-    unrolled = NeuralSplineFlow(rng=np.random.default_rng(seed), **kw)
+    unrolled = NeuralSplineFlow(rng=np.random.default_rng(seed),
+                                stacked=False, **kw)
     stacked = NeuralSplineFlow(rng=np.random.default_rng(seed), stacked=True, **kw)
     return unrolled, stacked
 
@@ -114,9 +115,8 @@ def test_stack_transforms_rejects_heterogeneous():
             MaskedAffineAutoregressiveTransform(features=4, hidden_features=32,
                                                 key=keys[1]),
         ])
-    with pytest.raises(ValueError):
-        NeuralSplineFlow(features=5, hidden_features=16, num_layers=2,
-                         key=jax.random.key(0), stacked=True)
+    # odd feature counts are supported since round 3 (fixed ceil/floor
+    # split) — see test_nsf_stacked_odd_features
 
 
 def test_stacked_layer_roundtrip():
@@ -176,3 +176,95 @@ def test_stacked_dropout_uses_distinct_per_layer_keys():
     # and dropout must actually differ from the no-dropout path (masks on)
     y_eval, _ = st.forward(x)
     assert not np.allclose(np.asarray(y1), np.asarray(y_eval))
+
+
+def test_nsf_stacked_odd_features():
+    """Round-3 VERDICT item 1: odd feature counts run scan-stacked via a
+    fixed ceil(d/2)/floor(d/2) split (the preceding RandomPermutation
+    supplies the mixing). Numerics and gradients must equal the unrolled
+    materialization of the SAME layers."""
+    d = 21
+    flow = NeuralSplineFlow(features=d, hidden_features=16, num_layers=4,
+                            num_blocks_per_layer=1, num_bins=4, stacked=True,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    st = flow.transform
+    assert isinstance(st, StackedTransform)
+    unrolled = CompositeTransform(
+        [t for g in st.layers() for t in g.transforms])
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(16, d)),
+                    dtype=jnp.float32)
+    ys, lds = st.forward(x)
+    yu, ldu = unrolled.forward(x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lds), np.asarray(ldu), atol=1e-5)
+    xs, _ = st.inverse(ys)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x), atol=1e-4)
+
+    # distinct permutations per layer (mixing really happens)
+    perms = [np.asarray(g.transforms[0].permutation) for g in st.layers()]
+    assert any(not np.array_equal(perms[0], p) for p in perms[1:])
+
+    # gradient equality stacked vs unrolled (trainable leaves only)
+    def loss(params, rest):
+        y, ld = combine(params, rest).forward(x)
+        return jnp.mean(y ** 2) - jnp.mean(ld)
+
+    ps, rs = partition(st)
+    pu, ru = partition(unrolled)
+    gs = jax.grad(loss)(ps, rs)
+    gu = jax.grad(loss)(pu, ru)
+    gs_layers = [jax.tree_util.tree_leaves(
+                     jax.tree_util.tree_map(lambda a, i=i: a[i], gs.stacked))
+                 for i in range(st.num_layers)]
+    gu_flat = jax.tree_util.tree_leaves(gu)
+    gs_flat = [leaf for layer in gs_layers for leaf in layer]
+    assert len(gs_flat) == len(gu_flat)
+    for a, b in zip(gs_flat, gu_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nsf_stacked_odd_features_fusable():
+    """Odd-d stacked flows must qualify for the fused megakernel
+    (homogeneous ceil/floor split) and agree with the XLA chain."""
+    from nflows_tpu.ops.pallas.nsf_fused import can_fuse_nsf, fuse_nsf
+
+    d = 7
+    flow = NeuralSplineFlow(features=d, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4, stacked=True,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    assert can_fuse_nsf(flow)
+    fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, d)),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused.log_prob(x)),
+                               np.asarray(flow.log_prob(x)), atol=1e-4)
+
+
+def test_nsf_stacked_odd_features_requires_random_permutations():
+    with pytest.raises(ValueError, match="odd feature count"):
+        NeuralSplineFlow(features=5, hidden_features=8, num_layers=2,
+                         stacked=True, use_random_permutations=False,
+                         key=jax.random.key(0))
+
+
+def test_nsf_auto_selects_stacked_by_width():
+    """stacked=None (the default) picks the measured winner: scan-stacked
+    for narrow conditioners, unrolled for hidden>=512 (BASELINE.md
+    stacked-vs-unrolled crossover)."""
+    kw = dict(features=6, num_layers=2, num_blocks_per_layer=1, num_bins=4,
+              key=jax.random.key(0), rng=np.random.default_rng(0))
+    narrow = NeuralSplineFlow(hidden_features=64, **kw)
+    assert isinstance(narrow.transform, StackedTransform)
+    wide = NeuralSplineFlow(hidden_features=512, **kw)
+    assert isinstance(wide.transform, CompositeTransform)
+    # odd d + reverse permutations can't stack -> auto falls back, no raise
+    odd = NeuralSplineFlow(features=5, hidden_features=64, num_layers=2,
+                           use_random_permutations=False,
+                           key=jax.random.key(0))
+    assert isinstance(odd.transform, CompositeTransform)
+    # explicit override always wins
+    forced = NeuralSplineFlow(hidden_features=512, stacked=True, **kw)
+    assert isinstance(forced.transform, StackedTransform)
