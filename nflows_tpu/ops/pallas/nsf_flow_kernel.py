@@ -66,11 +66,18 @@ def _dot(w, h, out_dtype=jnp.float32):
 
 
 def _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
-                 num_blocks, H, TM):
+                 num_blocks, H, TM, ctx=None, wc0_v=None, wcb_v=None,
+                 bcb_v=None):
     """ResidualNet forward in transposed layout: [Tid, R] -> [TM, R].
 
     Matches nn/nets/resnet.py:ResidualNet with relu activation, no
-    context/batch-norm/dropout (reference nn/nets/resnet.py:55-100).
+    batch-norm/dropout (reference nn/nets/resnet.py:55-100). With a
+    per-sample context ``ctx`` [C, R] (resident in VMEM alongside the
+    state): the initial layer adds the context columns of the concat
+    weight (reference resnet.py:81: net runs on [inputs ‖ context]) and
+    each block gates its residual with a context GLU
+    (reference resnet.py:51: ``glu([temps, ctx_proj])`` = temps *
+    sigmoid(ctx_proj)) — one extra stationary GEMM per block.
 
     All weight stacks are FLATTENED 2-D refs ([L*H, in] etc.) addressed
     with static row-range slices, for two reasons: (1) loading a whole
@@ -84,11 +91,17 @@ def _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
 
     nb = 2 * num_blocks
     h = _dot(w(w0_v, l, H), identity) + w(b0_v, l, H)
+    if ctx is not None:
+        h = h + _dot(w(wc0_v, l, H), ctx)
     for j in range(num_blocks):
         t = jnp.maximum(h, 0.0)
         t = _dot(w(wb_v, l * nb + 2 * j, H), t) + w(bb_v, l * nb + 2 * j, H)
         t = jnp.maximum(t, 0.0)
         t = _dot(w(wb_v, l * nb + 2 * j + 1, H), t) + w(bb_v, l * nb + 2 * j + 1, H)
+        if ctx is not None:
+            gate = (_dot(w(wcb_v, l * num_blocks + j, H), ctx)
+                    + w(bcb_v, l * num_blocks + j, H))
+            t = t * (1.0 / (1.0 + jnp.exp(-gate)))
         h = h + t
     return _dot(w(wf_v, l, TM), h) + w(bf_v, l, TM)
 
@@ -328,19 +341,23 @@ def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
 _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR}
 
 
-def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
+def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
+            wc0_hbm, wcb_hbm, bcb_hbm,
             out_ref, lad_ref,
-            w0_v, b0_v, wb_v, bb_v, wf_v, bf_v, dma_sems, *,
+            w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+            wc0_v, wcb_v, bcb_v, dma_sems, *,
             layer_indices, num_bins, num_blocks, inverse, H, TM, spline,
-            spline_kw):
+            spline_kw, has_context):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     # Load all layer weights HBM -> persistent VMEM scratch once (step 0).
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
-        pairs = ((w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
-                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v))
+        pairs = [(w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
+                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
+        if has_context:
+            pairs += [(wc0_hbm, wc0_v), (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
         dmas = [
             pltpu.make_async_copy(src, dst, dma_sems.at[i])
             for i, (src, dst) in enumerate(pairs)
@@ -352,6 +369,7 @@ def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
 
     L = len(layer_indices)
     x = x_ref[...].astype(jnp.float32)      # [D, R]
+    ctx = ctx_ref[...].astype(jnp.float32) if has_context else None  # [C, R]
     lad_total = jnp.zeros((1, x.shape[1]), dtype=jnp.float32)
 
     order = range(L - 1, -1, -1) if inverse else range(L)
@@ -366,7 +384,8 @@ def _kernel(x_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
             transform = _take_rows(x, li.tr_rows)
 
         P = _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
-                         num_blocks, H, TM)
+                         num_blocks, H, TM, ctx=ctx, wc0_v=wc0_v,
+                         wcb_v=wcb_v, bcb_v=bcb_v)
         out, lad = _SPLINES_TR[spline](
             transform, P, num_bins=num_bins, T=T, inverse=inverse,
             **spline_kw,
@@ -400,6 +419,10 @@ def nsf_flow_kernel_call(
     min_lambda: float = None,
     lanes: int = LANES_DEFAULT,
     interpret: bool = False,
+    ctx_t: jnp.ndarray = None,        # [C, N] per-sample context (optional)
+    wc0: jnp.ndarray = None,          # [L, H, C] initial-layer context cols
+    wcb: jnp.ndarray = None,          # [L, num_blocks, H, C] GLU projections
+    bcb: jnp.ndarray = None,          # [L, num_blocks, H, 1] fp32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused chain. Returns (y_t [D, N], logabsdet [1, N])."""
     from jax.experimental import pallas as pl
@@ -419,6 +442,26 @@ def nsf_flow_kernel_call(
     bb = bb.reshape(-1, 1)
     wf = wf.reshape(L * TM, H)
     bf = bf.reshape(L * TM, 1)
+
+    has_context = ctx_t is not None
+    if has_context:
+        if wc0 is None or wcb is None or bcb is None:
+            raise ValueError("ctx_t requires wc0/wcb/bcb context weights")
+        if ctx_t.shape[1] != N:
+            raise ValueError(
+                f"ctx_t has {ctx_t.shape[1]} samples but x_t has {N}")
+        C = ctx_t.shape[0]
+        wc0 = wc0.reshape(L * H, C)
+        wcb = wcb.reshape(-1, C)
+        bcb = bcb.reshape(-1, 1)
+    else:
+        # 1-row dummies keep the pallas_call signature static; the kernel
+        # never touches them (has_context=False skips their DMA and use)
+        C = 1
+        ctx_t = jnp.zeros((1, N), dtype=jnp.float32)
+        wc0 = jnp.zeros((1, 1), dtype=w0.dtype)
+        wcb = jnp.zeros((1, 1), dtype=w0.dtype)
+        bcb = jnp.zeros((1, 1), dtype=jnp.float32)
 
     if spline not in _SPLINES_TR:
         raise ValueError(f"spline must be one of {sorted(_SPLINES_TR)}")
@@ -440,6 +483,7 @@ def nsf_flow_kernel_call(
         TM=TM,
         spline=spline,
         spline_kw=spline_kw,
+        has_context=has_context,
     )
 
     # weights pinned to HBM (BlockSpec'd VMEM inputs would be
@@ -451,7 +495,8 @@ def nsf_flow_kernel_call(
         grid=grid,
         in_specs=[
             pl.BlockSpec((D, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
-            hbm, hbm, hbm, hbm, hbm, hbm,
+            pl.BlockSpec((C, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm,
         ],
         out_specs=[
             pl.BlockSpec((D, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -468,7 +513,10 @@ def nsf_flow_kernel_call(
             pltpu.VMEM(bb.shape, bb.dtype),
             pltpu.VMEM(wf.shape, wf.dtype),
             pltpu.VMEM(bf.shape, bf.dtype),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM(wc0.shape, wc0.dtype),
+            pltpu.VMEM(wcb.shape, wcb.dtype),
+            pltpu.VMEM(bcb.shape, bcb.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
             # resident weights + per-layer temporaries exceed the 16 MB
@@ -476,5 +524,5 @@ def nsf_flow_kernel_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_t, w0, b0, wb, bb, wf, bf)
+    )(x_t, ctx_t, w0, b0, wb, bb, wf, bf, wc0, wcb, bcb)
     return out, lad

@@ -114,6 +114,7 @@ def _extract(flow, dtype):
 
     layer_indices = []
     w0s, b0s, wbs, bbs, wfs, bfs = [], [], [], [], [], []
+    wc0s, wcbs, bcbs = [], [], []
     ref_cfg = None
     for perm, cpl in pairs:
         if not isinstance(perm, Permutation) or perm.dim != 1:
@@ -131,8 +132,6 @@ def _extract(flow, dtype):
         net = cpl.transform_net
         if not isinstance(net, ResidualNet):
             raise ValueError("conditioner must be a ResidualNet")
-        if net.context_features is not None:
-            raise ValueError("context not supported in the fused path")
         for blk in net.blocks:
             if blk.batch_norm_0 is not None or blk.dropout.rate != 0.0:
                 raise ValueError("batch-norm/dropout conditioners not fused")
@@ -146,7 +145,8 @@ def _extract(flow, dtype):
         cfg = (spline, K, T, cpl.num_identity_features, H, len(net.blocks),
                cpl.tail_bound, cpl.min_bin_width, cpl.min_bin_height,
                cpl.min_derivative,
-               getattr(cpl, "min_lambda", None))
+               getattr(cpl, "min_lambda", None),
+               net.context_features)
         if ref_cfg is None:
             ref_cfg = cfg
         elif cfg != ref_cfg:
@@ -167,15 +167,29 @@ def _extract(flow, dtype):
             merge_inv=tuple(int(i) for i in merge_inv),
         ))
 
-        w0s.append(np.asarray(net.initial_layer.weight).T)    # [H, Tid]
+        # initial layer runs on [inputs ‖ context] (resnet.py:152): split
+        # the concat weight's rows into input and context parts
+        Tid = cpl.num_identity_features
+        Cf = net.context_features
+        w_init = np.asarray(net.initial_layer.weight)         # [Tid(+C), H]
+        w0s.append(w_init[:Tid].T)                            # [H, Tid]
         b0s.append(np.asarray(net.initial_layer.bias)[:, None])
+        if Cf is not None:
+            wc0s.append(w_init[Tid:].T)                       # [H, C]
         layer_wb, layer_bb = [], []
+        layer_wc, layer_bc = [], []
         for blk in net.blocks:
             for lin in (blk.linear_0, blk.linear_1):
                 layer_wb.append(np.asarray(lin.weight).T)     # [H, H]
                 layer_bb.append(np.asarray(lin.bias)[:, None])
+            if Cf is not None:
+                layer_wc.append(np.asarray(blk.context_layer.weight).T)
+                layer_bc.append(np.asarray(blk.context_layer.bias)[:, None])
         wbs.append(np.stack(layer_wb))
         bbs.append(np.stack(layer_bb))
+        if Cf is not None:
+            wcbs.append(np.stack(layer_wc))
+            bcbs.append(np.stack(layer_bc))
 
         # final layer: reorder columns K-major (new col j*T+t = old t*M+j)
         # and fold the softmax 1/sqrt(H) scale into width/height params
@@ -191,7 +205,8 @@ def _extract(flow, dtype):
         wfs.append(wf.T)                                      # [TM, H]
         bfs.append(bf[:, None])
 
-    spline, K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md, ml = ref_cfg
+    (spline, K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md, ml,
+     context_features) = ref_cfg
     weights = dict(
         w0=jnp.asarray(np.stack(w0s), dtype=dtype),
         b0=jnp.asarray(np.stack(b0s), dtype=jnp.float32),
@@ -200,6 +215,12 @@ def _extract(flow, dtype):
         wf=jnp.asarray(np.stack(wfs), dtype=dtype),
         bf=jnp.asarray(np.stack(bfs), dtype=jnp.float32),
     )
+    if context_features is not None:
+        weights.update(
+            wc0=jnp.asarray(np.stack(wc0s), dtype=dtype),
+            wcb=jnp.asarray(np.stack(wcbs), dtype=dtype),
+            bcb=jnp.asarray(np.stack(bcbs), dtype=jnp.float32),
+        )
     static = dict(
         num_bins=K, num_blocks=num_blocks, tail_bound=float(tail_bound),
         min_bin_width=float(mbw), min_bin_height=float(mbh),
@@ -207,7 +228,7 @@ def _extract(flow, dtype):
         min_lambda=None if ml is None else float(ml),
     )
     features = Tid + T
-    return layer_indices, weights, static, features
+    return layer_indices, weights, static, features, context_features
 
 
 class FusedNSF:
@@ -215,29 +236,47 @@ class FusedNSF:
     linear-rational spline family).
 
     ``forward``/``inverse`` have the Transform contract; ``log_prob``,
-    ``sample`` and ``sample_and_log_prob`` the Distribution contract
-    (context-free). Build with :func:`fuse_nsf`.
+    ``sample`` and ``sample_and_log_prob`` the Distribution contract.
+    Conditional flows are supported since round 3: the embedding net runs
+    once outside the kernel (plain XLA), the embedded per-sample context
+    rides the lanes in VMEM and each ResidualNet block's context GLU is
+    one extra stationary GEMM (reference resnet.py:51). Build with
+    :func:`fuse_nsf`.
     """
 
     def __init__(self, flow, dtype=jnp.bfloat16, lanes: int = LANES_DEFAULT,
                  interpret: bool = False):
         (self._indices, self._weights, self._static,
-         self.features) = _extract(flow, dtype)
+         self.features, self.context_features) = _extract(flow, dtype)
+        # embedding net applied OUTSIDE the kernel (arbitrary XLA module;
+        # None = identity, matching Flow._embed)
+        self._embedding_net = getattr(flow, "embedding_net", None)
         self._lanes = lanes
         self._interpret = interpret
         self._build_runners()
 
     def _build_runners(self):
-        def run(x_t, inverse):
+        has_ctx = self.context_features is not None
+
+        def run(x_t, ctx_t, inverse):
             w = self._weights
+            ctx_kw = {}
+            if has_ctx:
+                ctx_kw = dict(ctx_t=ctx_t, wc0=w["wc0"], wcb=w["wcb"],
+                              bcb=w["bcb"])
             return nsf_flow_kernel_call(
                 x_t, w["w0"], w["b0"], w["wb"], w["bb"], w["wf"], w["bf"],
                 self._indices, inverse=inverse, lanes=self._lanes,
-                interpret=self._interpret, **self._static,
+                interpret=self._interpret, **ctx_kw, **self._static,
             )
 
-        self._run_fwd = jax.jit(lambda x_t: run(x_t, False))
-        self._run_inv = jax.jit(lambda x_t: run(x_t, True))
+        self._run_fwd = jax.jit(lambda x_t, ctx_t: run(x_t, ctx_t, False))
+        self._run_inv = jax.jit(lambda x_t, ctx_t: run(x_t, ctx_t, True))
+
+    def _embed(self, context):
+        if context is None or self._embedding_net is None:
+            return context
+        return self._embedding_net(context)
 
     def with_lanes(self, lanes: int) -> "FusedNSF":
         """A view of the same extracted weights with a different lane tile
@@ -251,28 +290,49 @@ class FusedNSF:
 
     # -- transform contract ------------------------------------------------
 
-    def _apply(self, inputs, inverse):
+    def _check_context(self, context, n):
+        if self.context_features is None:
+            if context is not None:
+                raise ValueError(
+                    "this flow was fused without context support but a "
+                    "context was passed")
+            return None
+        if context is None:
+            raise ValueError(
+                "this flow is conditional; a context of shape "
+                f"[N, ...] matching the {n} inputs is required")
+        if context.shape[0] != n:
+            raise ValueError(
+                f"context has {context.shape[0]} rows but inputs have {n}")
+        return context
+
+    def _apply(self, inputs, inverse, embedded_context=None):
         n = inputs.shape[0]
         if inputs.ndim != 2 or inputs.shape[1] != self.features:
             raise ValueError(
                 f"expected [N, {self.features}] inputs, got {inputs.shape}")
         pad = (-n) % self._lanes
         x_t = jnp.asarray(inputs, jnp.float32).T
+        ctx_t = None
+        if embedded_context is not None:
+            ctx_t = jnp.asarray(embedded_context, jnp.float32).T
         if pad:
             x_t = jnp.pad(x_t, ((0, 0), (0, pad)))
+            if ctx_t is not None:
+                ctx_t = jnp.pad(ctx_t, ((0, 0), (0, pad)))
         run = self._run_inv if inverse else self._run_fwd
-        y_t, lad = run(x_t)
+        y_t, lad = run(x_t, ctx_t)
         return y_t[:, :n].T, lad[0, :n]
 
     def forward(self, inputs, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        return self._apply(inputs, inverse=False)
+        context = self._check_context(context, inputs.shape[0])
+        return self._apply(inputs, inverse=False,
+                           embedded_context=self._embed(context))
 
     def inverse(self, inputs, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        return self._apply(inputs, inverse=True)
+        context = self._check_context(context, inputs.shape[0])
+        return self._apply(inputs, inverse=True,
+                           embedded_context=self._embed(context))
 
     # -- distribution contract ---------------------------------------------
 
@@ -282,21 +342,54 @@ class FusedNSF:
             - 0.5 * self.features * np.log(2 * np.pi)
         return log_base + logabsdet
 
+    def _conditional_noise(self, key, num_samples, embedded):
+        """Noise + repeated context in the exact layout/key-stream of
+        Flow._sample's context-free-base branch (flows/base.py:72-99), so
+        fused and XLA endpoints agree sample-for-sample."""
+        from nflows_tpu.utils import shapes as shapeutils
+
+        m = embedded.shape[0]
+        noise = jax.random.normal(key, (num_samples * m, self.features))
+        ctx_rep = shapeutils.repeat_rows(embedded, num_reps=num_samples)
+        return noise, ctx_rep
+
     def sample(self, key, num_samples, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        noise = jax.random.normal(key, (num_samples, self.features))
-        samples, _ = self.inverse(noise)
-        return samples
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, _ = self._apply(noise, inverse=True)
+            return samples
+        if self.context_features is None:
+            raise ValueError(
+                "this flow was fused without context support but a "
+                "context was passed")
+        embedded = self._embed(context)
+        noise, ctx_rep = self._conditional_noise(key, num_samples, embedded)
+        samples, _ = self._apply(noise, inverse=True,
+                                 embedded_context=ctx_rep)
+        return samples.reshape(context.shape[0], num_samples, self.features)
 
     def sample_and_log_prob(self, key, num_samples, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        noise = jax.random.normal(key, (num_samples, self.features))
-        samples, logabsdet = self.inverse(noise)
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, logabsdet = self._apply(noise, inverse=True)
+            log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
+                - 0.5 * self.features * np.log(2 * np.pi)
+            return samples, log_base - logabsdet
+        if self.context_features is None:
+            raise ValueError(
+                "this flow was fused without context support but a "
+                "context was passed")
+        embedded = self._embed(context)
+        noise, ctx_rep = self._conditional_noise(key, num_samples, embedded)
+        samples, logabsdet = self._apply(noise, inverse=True,
+                                         embedded_context=ctx_rep)
         log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
             - 0.5 * self.features * np.log(2 * np.pi)
-        return samples, log_base - logabsdet
+        m = context.shape[0]
+        return (samples.reshape(m, num_samples, self.features),
+                (log_base - logabsdet).reshape(m, num_samples))
 
 
 def fuse_nsf(flow, dtype=jnp.bfloat16, lanes: int = LANES_DEFAULT,

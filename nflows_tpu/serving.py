@@ -74,9 +74,12 @@ class CompiledFlow:
                         "for exact XLA-chain agreement; check .is_fused)",
                         type(self._fused).__name__,
                     )
+                # conditional sampling draws num_samples rows PER context
+                sample_rows = self.num_samples * (
+                    1 if self.context_features is None else self.batch_size)
                 self._fused_sampling = (
-                    self._fused if self.num_samples == self.batch_size
-                    else self._fused.with_lanes(self._lane_tile(self.num_samples))
+                    self._fused if sample_rows == self.batch_size
+                    else self._fused.with_lanes(self._lane_tile(sample_rows))
                 )
 
     _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap
@@ -96,10 +99,6 @@ class CompiledFlow:
         from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
         from nflows_tpu.ops.pallas.rq_spline import pallas_available
 
-        if self.context_features is not None:
-            if required:
-                raise ValueError("fused serving path is context-free")
-            return None
         if not required and not pallas_available():
             return None
 
@@ -110,12 +109,22 @@ class CompiledFlow:
         # tile via with_lanes in __init__
         lanes = self._lane_tile(self.batch_size)
 
+        # the NSF megakernel supports per-sample context (round 3); the MAF
+        # one is still context-free and will reject conditional flows
         errors = []
         for fuse in (fuse_nsf, fuse_maf):
             try:
                 fused = fuse(flow, dtype=self._dtype, lanes=lanes)
             except (ValueError, AttributeError) as e:
                 errors.append(str(e))
+                continue
+            fused_ctx = getattr(fused, "context_features", None)
+            if (fused_ctx is None) != (self.context_features is None):
+                msg = ("flow conditionality does not match CompiledFlow's "
+                       f"context_features={self.context_features}")
+                if required:
+                    raise ValueError(msg)
+                errors.append(msg)
                 continue
             weight_bytes = sum(
                 w.nbytes for w in fused._weights.values())
@@ -227,7 +236,7 @@ class CompiledFlow:
         self._check_inputs(inputs)
         self._check_context(context)
         if self._fused is not None:
-            return self._fused.log_prob(inputs)
+            return self._fused.log_prob(inputs, context)
         if self.context_features is None:
             return self._get("log_prob")(self._flow, inputs)
         return self._get("log_prob")(self._flow, inputs, context)
@@ -236,7 +245,8 @@ class CompiledFlow:
         key = self._check_key(key)
         self._check_context(context)
         if self._fused_sampling is not None:
-            return self._fused_sampling.sample(key, self.num_samples)
+            return self._fused_sampling.sample(key, self.num_samples,
+                                               context=context)
         if self.context_features is None:
             return self._get("sample")(self._flow, key)
         return self._get("sample")(self._flow, key, context)
@@ -246,7 +256,7 @@ class CompiledFlow:
         self._check_context(context)
         if self._fused_sampling is not None:
             return self._fused_sampling.sample_and_log_prob(
-                key, self.num_samples)
+                key, self.num_samples, context=context)
         if self.context_features is None:
             return self._get("sample_and_log_prob")(self._flow, key)
         return self._get("sample_and_log_prob")(self._flow, key, context)

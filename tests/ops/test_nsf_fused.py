@@ -140,3 +140,72 @@ def test_lrs_flow_fuses_and_matches_xla():
     x_ref, _ = flow.transform.inverse(z)
     x_f, _ = fused.inverse(z)
     np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_f), atol=1e-5)
+
+
+def test_conditional_flow_fuses_and_matches_xla():
+    """Round-3 VERDICT item 3: conditional NSF flows fuse — the embedded
+    context rides the lanes, each block's context GLU is one stationary
+    GEMM. Numerics and the sampling key stream must match the XLA chain
+    exactly (fp32 interpret mode)."""
+    flow = _flow(features=6, hidden=24, layers=3, bins=4,
+                 context_features=3)
+    assert can_fuse_nsf(flow)
+    fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    assert fused.context_features == 3
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(40, 6)), dtype=jnp.float32)
+    c = jnp.asarray(rng.normal(size=(40, 3)), dtype=jnp.float32)
+
+    lp_ref = flow.log_prob(x, c)
+    lp_f = fused.log_prob(x, c)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_ref),
+                               atol=1e-4)
+
+    y_ref, lad_ref = flow.transform.forward(x, c)
+    y_f, lad_f = fused.forward(x, c)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_f), np.asarray(lad_ref),
+                               atol=1e-4)
+
+    # conditional sampling: same key stream as Flow._sample -> exact match
+    ctx_small = c[:5]
+    s_ref = flow.sample(jax.random.key(3), 4, context=ctx_small)
+    s_f = fused.sample(jax.random.key(3), 4, context=ctx_small)
+    assert s_f.shape == (5, 4, 6)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_ref), atol=1e-4)
+
+    s_ref2, lp_ref2 = flow.sample_and_log_prob(jax.random.key(4), 4,
+                                               context=ctx_small)
+    s_f2, lp_f2 = fused.sample_and_log_prob(jax.random.key(4), 4,
+                                            context=ctx_small)
+    np.testing.assert_allclose(np.asarray(s_f2), np.asarray(s_ref2),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_f2), np.asarray(lp_ref2),
+                               atol=1e-4)
+
+    # context requiredness is enforced both ways
+    with pytest.raises(ValueError):
+        fused.log_prob(x)
+    with pytest.raises(ValueError):
+        fuse_nsf(_flow(), dtype=jnp.float32, interpret=True).log_prob(x, c)
+
+
+def test_conditional_flow_with_embedding_net():
+    """The embedding net runs once OUTSIDE the kernel (plain XLA); the
+    kernel consumes the embedded context."""
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.nn.primitives import Dense
+
+    inner = _flow(features=4, hidden=16, layers=2, bins=4,
+                  context_features=8)
+    embed = Dense(2, 8, key=jax.random.key(7))
+    flow = Flow(transform=inner.transform, distribution=inner.distribution,
+                embedding_net=embed)
+    fused = fuse_nsf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 4)), dtype=jnp.float32)
+    c = jnp.asarray(rng.normal(size=(16, 2)), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused.log_prob(x, c)),
+                               np.asarray(flow.log_prob(x, c)), atol=1e-4)
