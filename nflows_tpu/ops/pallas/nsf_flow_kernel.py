@@ -347,7 +347,7 @@ def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
             w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
             wc0_v, wcb_v, bcb_v, dma_sems, *,
             layer_indices, num_bins, num_blocks, inverse, H, TM, spline,
-            spline_kw, has_context):
+            spline_kw, has_context, wh_scale=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -386,6 +386,12 @@ def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
         P = _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
                          num_blocks, H, TM, ctx=ctx, wc0_v=wc0_v,
                          wcb_v=wcb_v, bcb_v=bcb_v)
+        if wh_scale is not None:
+            # softmax 1/sqrt(hidden) width/height rescale applied in-kernel
+            # (training keeps weights UNfolded so the kernel-layout params
+            # are elementwise-optimizer-equivalent to the model's own)
+            KT2 = 2 * num_bins * T
+            P = jnp.concatenate([P[:KT2] * wh_scale, P[KT2:]], axis=0)
         out, lad = _SPLINES_TR[spline](
             transform, P, num_bins=num_bins, T=T, inverse=inverse,
             **spline_kw,
@@ -423,6 +429,7 @@ def nsf_flow_kernel_call(
     wc0: jnp.ndarray = None,          # [L, H, C] initial-layer context cols
     wcb: jnp.ndarray = None,          # [L, num_blocks, H, C] GLU projections
     bcb: jnp.ndarray = None,          # [L, num_blocks, H, 1] fp32
+    wh_scale: float = None,           # in-kernel width/height rescale
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused chain. Returns (y_t [D, N], logabsdet [1, N])."""
     from jax.experimental import pallas as pl
@@ -484,6 +491,7 @@ def nsf_flow_kernel_call(
         spline=spline,
         spline_kw=spline_kw,
         has_context=has_context,
+        wh_scale=wh_scale,
     )
 
     # weights pinned to HBM (BlockSpec'd VMEM inputs would be

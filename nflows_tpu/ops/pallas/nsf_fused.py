@@ -83,7 +83,14 @@ def can_fuse_nsf(flow) -> bool:
         return False
 
 
-def _extract(flow, dtype):
+def _extract(flow, dtype, fold_wh_scale=True):
+    """Re-lay a qualifying flow's weights for the kernel. With
+    ``fold_wh_scale=False`` the softmax 1/sqrt(hidden) width/height rescale
+    is NOT folded into the final-layer weights — the kernel applies it via
+    ``wh_scale`` instead, keeping the kernel-layout parameters pure
+    transposes/permutations of the model's own (so an elementwise optimizer
+    like Adam follows the identical trajectory — the fused-training
+    requirement, ops/pallas/nsf_train.py)."""
     from nflows_tpu.distributions.normal import StandardNormal
     from nflows_tpu.nn.nets.resnet import ResidualNet
     from nflows_tpu.transforms.coupling import (
@@ -198,10 +205,13 @@ def _extract(flow, dtype):
         wf = np.asarray(net.final_layer.weight)               # [H, T*M]
         bf = np.asarray(net.final_layer.bias)                 # [T*M]
         order = np.array([t * M + j for j in range(M) for t in range(T)])
-        scale = np.ones(T * M, dtype=wf.dtype)
-        scale[: 2 * K * T] = 1.0 / np.sqrt(H)                 # widths+heights
-        wf = wf[:, order] * scale[None, :]
-        bf = bf[order] * scale
+        wf = wf[:, order]
+        bf = bf[order]
+        if fold_wh_scale:
+            scale = np.ones(T * M, dtype=wf.dtype)
+            scale[: 2 * K * T] = 1.0 / np.sqrt(H)             # widths+heights
+            wf = wf * scale[None, :]
+            bf = bf * scale
         wfs.append(wf.T)                                      # [TM, H]
         bfs.append(bf[:, None])
 

@@ -1,0 +1,145 @@
+"""Fused NSF training (forward+backward megakernels, interpret mode):
+gradients and the full Adam trajectory must equal the autodiff'd XLA
+chain on the model's own parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nflows_tpu.core.module import combine, partition
+from nflows_tpu.models import NeuralSplineFlow
+from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+
+def _flow(features=6, hidden=32, layers=3, bins=4, seed=0, **kw):
+    return NeuralSplineFlow(
+        features=features, hidden_features=hidden, num_layers=layers,
+        num_blocks_per_layer=2, num_bins=bins, tail_bound=3.0,
+        key=jax.random.key(seed), rng=np.random.default_rng(seed), **kw)
+
+
+@pytest.fixture(scope="module")
+def flow():
+    return _flow()
+
+
+@pytest.fixture(scope="module")
+def trainer(flow):
+    return FusedNSFTrainer(flow, batch_size=128, interpret=True)
+
+
+def _batch(seed=1, n=128, d=6, scale=1.5):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, d)) * scale,
+        dtype=jnp.float32)
+
+
+def test_fused_loss_matches_xla(flow, trainer):
+    x = _batch()
+    fused = float(trainer.loss_fn(trainer.weights, x.T))
+    xla = float(-flow.log_prob(x).mean())
+    assert abs(fused - xla) < 1e-4, (fused, xla)
+
+
+def test_fused_gradients_match_xla_chain(flow, trainer):
+    """The recompute-in-kernel backward must produce the same gradients as
+    jax.grad through the XLA chain, compared in kernel layout via the
+    (purely permuting) extraction applied to the XLA grad pytree."""
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+
+    x = _batch(2)
+
+    g_fused = jax.grad(trainer.loss_fn)(trainer.weights, x.T)
+
+    def xla_loss(params, rest):
+        return -combine(params, rest).log_prob(x).mean()
+
+    params, rest = partition(flow)
+    g_params = jax.grad(xla_loss)(params, rest)
+    grad_flow = combine(g_params, rest)  # param grads + REAL buffers
+    _, g_kernel_layout, _, _, _ = _extract(grad_flow, jnp.float32,
+                                           fold_wh_scale=False)
+
+    for k in ("w0", "b0", "wb", "bb", "wf", "bf"):
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_kernel_layout[k]),
+            atol=2e-4, err_msg=k)
+
+
+def test_grad_accumulates_across_tiles(flow):
+    """Weight grads accumulate over grid tiles: a 2-tile batch must give
+    the same gradient as the same batch in one tile."""
+    tr = FusedNSFTrainer(flow, batch_size=256, interpret=True)
+    x = _batch(3, n=256)
+    g2 = jax.grad(tr.loss_fn)(tr.weights, x.T)
+
+    tr1 = FusedNSFTrainer(flow, batch_size=256, interpret=True)
+    tr1._lanes = 256
+    tr1._apply = __import__(
+        "nflows_tpu.ops.pallas.nsf_train", fromlist=["nsf_train_vjp_call"]
+    ).nsf_train_vjp_call(tr1._indices, tr1._static, 256, True)
+    g1 = jax.grad(tr1.loss_fn)(tr1.weights, x.T)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_fused_adam_step_matches(flow, trainer):
+    """Three Adam steps on the kernel-layout weights must land exactly
+    where three Adam steps on the model's own parameters land (extraction
+    is transpose/permute only — elementwise-optimizer equivalence)."""
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+    from nflows_tpu.training import create_train_state, make_train_step
+
+    opt = optax.adam(1e-2)
+    step = trainer.make_train_step(opt, donate=False)
+    weights, opt_state = trainer.weights, trainer.init_opt(opt)
+    losses_fused = []
+    for i in range(3):
+        weights, opt_state, loss = step(weights, opt_state, _batch(10 + i))
+        losses_fused.append(float(loss))
+
+    state = create_train_state(flow, opt)
+    xla_step = make_train_step(opt, donate=False)
+    losses_xla = []
+    for i in range(3):
+        state, metrics = xla_step(state, _batch(10 + i))
+        losses_xla.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses_fused, losses_xla, atol=2e-4)
+
+    # parameters themselves coincide after the trajectory
+    trained_xla = combine(state.params, state.rest)
+    _, w_xla, _, _, _ = _extract(trained_xla, jnp.float32,
+                                 fold_wh_scale=False)
+    for k in ("w0", "wb", "wf", "bf"):
+        np.testing.assert_allclose(np.asarray(weights[k]),
+                                   np.asarray(w_xla[k]), atol=5e-4,
+                                   err_msg=k)
+
+
+def test_to_flow_roundtrip(flow, trainer):
+    """to_flow(weights) must reproduce the original flow's log_prob."""
+    rebuilt = trainer.to_flow()
+    x = _batch(4)
+    np.testing.assert_allclose(np.asarray(rebuilt.log_prob(x)),
+                               np.asarray(flow.log_prob(x)), atol=1e-5)
+
+
+def test_lrs_fused_training_gradients():
+    flow = _flow(spline="lrs", layers=2, hidden=16)
+    tr = FusedNSFTrainer(flow, batch_size=128, interpret=True)
+    x = _batch(5)
+    fused = float(tr.loss_fn(tr.weights, x.T))
+    xla = float(-flow.log_prob(x).mean())
+    assert abs(fused - xla) < 1e-4
+    g = jax.grad(tr.loss_fn)(tr.weights, x.T)
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in g.values())
+
+
+def test_conditional_flow_rejected():
+    with pytest.raises(ValueError, match="context-free"):
+        FusedNSFTrainer(_flow(context_features=2), batch_size=128,
+                        interpret=True)
