@@ -10,7 +10,8 @@ analytic linear inverse, logabsdet, linear tails — is one VMEM pass.
 Gradients: ``custom_vjp`` whose backward differentiates the pure-XLA
 implementation (ops/splines/linear_rational.py), so training is exact while
 forward/sampling runs fused. The LRS inverse being *linear* (no sqrt) makes
-the fused inverse slightly cheaper than the RQ kernel's.
+the fused inverse slightly cheaper than the RQ kernel's. Shared bin math /
+scaffolding lives in ops/pallas/_spline_common.py.
 """
 
 from __future__ import annotations
@@ -19,16 +20,12 @@ import functools
 from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas import _spline_common as sc
 from nflows_tpu.ops.splines import linear_rational as lrs_ref
 
 __all__ = ["lrs_spline_pallas"]
-
-_LANES = 128
-_ROWS = 64
-_TILE = _LANES * _ROWS
 
 
 def _kernel(x_ref, w_ref, h_ref, d_ref, l_ref, out_ref, lad_ref, *,
@@ -40,63 +37,25 @@ def _kernel(x_ref, w_ref, h_ref, d_ref, l_ref, out_ref, lad_ref, *,
     inside = (x_orig >= -B) & (x_orig <= B)
     x = jnp.clip(x_orig, -B, B)
 
-    def normalize(ref, min_size):
-        vals = [ref[k] for k in range(K)]
-        vmax = vals[0]
-        for v in vals[1:]:
-            vmax = jnp.maximum(vmax, v)
-        exps = [jnp.exp(v - vmax) for v in vals]
-        total = exps[0]
-        for e in exps[1:]:
-            total = total + e
-        inv_total = 1.0 / total
-        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
-
-    widths = normalize(w_ref, min_bin_width)
-    heights = normalize(h_ref, min_bin_height)
-
-    def edges_of(bins):
-        edges = [jnp.full_like(x, -B)]
-        run = jnp.zeros_like(x)
-        for k in range(K):
-            run = run + bins[k]
-            edges.append(2.0 * B * run - B)
-        edges[-1] = jnp.full_like(x, B)
-        return edges
-
-    edge_w = edges_of(widths)
-    edge_h = edges_of(heights)
+    widths = sc.softmax_bins([w_ref[k] for k in range(K)], min_bin_width)
+    heights = sc.softmax_bins([h_ref[k] for k in range(K)], min_bin_height)
+    edge_w = sc.edges_from_bins(widths, x, B)
+    edge_h = sc.edges_from_bins(heights, x, B)
     bin_w = [edge_w[k + 1] - edge_w[k] for k in range(K)]
     bin_h = [edge_h[k + 1] - edge_h[k] for k in range(K)]
 
-    derivs = [min_derivative + jnp.logaddexp(d_ref[k], 0.0) for k in range(K + 1)]
+    derivs = [min_derivative + jnp.logaddexp(d_ref[k], 0.0)
+              for k in range(K + 1)]
     lams = [
-        min_lambda + (1.0 - 2.0 * min_lambda)
-        / (1.0 + jnp.exp(-l_ref[k]))
+        min_lambda + (1.0 - 2.0 * min_lambda) / (1.0 + jnp.exp(-l_ref[k]))
         for k in range(K)
     ]
 
-    search_edges = edge_h if inverse else edge_w
-    idx = jnp.zeros_like(x, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (x >= search_edges[k]).astype(jnp.int32)
-
-    sel_w = bin_w[0]
-    sel_h = bin_h[0]
-    sel_x0 = edge_w[0]
-    sel_y0 = edge_h[0]
-    sel_d0 = derivs[0]
-    sel_d1 = derivs[1]
-    sel_lam = lams[0]
-    for k in range(1, K):
-        m = idx == k
-        sel_w = jnp.where(m, bin_w[k], sel_w)
-        sel_h = jnp.where(m, bin_h[k], sel_h)
-        sel_x0 = jnp.where(m, edge_w[k], sel_x0)
-        sel_y0 = jnp.where(m, edge_h[k], sel_y0)
-        sel_d0 = jnp.where(m, derivs[k], sel_d0)
-        sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
-        sel_lam = jnp.where(m, lams[k], sel_lam)
+    idx = sc.bin_index_ge(x, edge_h if inverse else edge_w, K)
+    (sel_w, sel_h, sel_x0, sel_y0, sel_d0, sel_d1,
+     sel_lam) = sc.select_by_index(
+        idx, K, bin_w, bin_h, edge_w[:K], edge_h[:K], derivs[:K], derivs[1:],
+        lams)
 
     y1 = sel_y0 + sel_h
     wb = jnp.sqrt(sel_d0 / sel_d1)
@@ -127,7 +86,8 @@ def _kernel(x_ref, w_ref, h_ref, d_ref, l_ref, out_ref, lad_ref, *,
         out = sel_x0 + theta * sel_w
     else:
         out_a = (sel_y0 * (sel_lam - theta_a) + wm * ym * theta_a) / den_a
-        out_b = (wm * ym * (1.0 - theta_b) + wb * y1 * (theta_b - sel_lam)) / den_b
+        out_b = (wm * ym * (1.0 - theta_b)
+                 + wb * y1 * (theta_b - sel_lam)) / den_b
         out = jnp.where(use_a, out_a, out_b)
 
     log_deriv_a = (jnp.log(wm) + jnp.log(sel_lam) + jnp.log(ym - sel_y0)
@@ -143,52 +103,30 @@ def _kernel(x_ref, w_ref, h_ref, d_ref, l_ref, out_ref, lad_ref, *,
     lad_ref[...] = jnp.where(inside, lad, jnp.zeros_like(lad))
 
 
-def _pallas_impl(x_flat, w_t, h_t, d_t, l_t, *, num_bins, inverse, tail_bound,
-                 min_bin_width, min_bin_height, min_derivative, min_lambda,
-                 interpret):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _run_pallas(inputs, params, statics, interpret):
+    uw, uh, ud, ul = params
+    (inverse, tail_bound, min_bin_width, min_bin_height, min_derivative,
+     min_lambda) = statics
+    K = uw.shape[-1]
 
-    N = x_flat.shape[0]
-    M = N // _LANES
-    grid = (M // _ROWS,)
+    constant = float(np.log(np.exp(1 - min_derivative) - 1))
+    pad = [(0, 0)] * (ud.ndim - 1) + [(1, 1)]
+    ud_p = jnp.pad(ud, pad, constant_values=constant)
 
-    x2 = x_flat.reshape(M, _LANES)
-    w2 = w_t.reshape(num_bins, M, _LANES)
-    h2 = h_t.reshape(num_bins, M, _LANES)
-    d2 = d_t.reshape(num_bins + 1, M, _LANES)
-    l2 = l_t.reshape(num_bins, M, _LANES)
-
+    x, stacks, N, shape = sc.flatten_pad_params(inputs, [uw, uh, ud_p, ul])
     kernel = functools.partial(
-        _kernel, num_bins=num_bins, inverse=inverse, tail_bound=tail_bound,
+        _kernel, num_bins=K, inverse=inverse, tail_bound=tail_bound,
         min_bin_width=min_bin_width, min_bin_height=min_bin_height,
         min_derivative=min_derivative, min_lambda=min_lambda,
     )
-
-    def spec(k_dim):
-        if k_dim is None:
-            return pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((k_dim, _ROWS, _LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    out, lad = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec(None), spec(num_bins), spec(num_bins),
-                  spec(num_bins + 1), spec(num_bins)],
-        out_specs=[spec(None), spec(None)],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, _LANES), x_flat.dtype),
-            jax.ShapeDtypeStruct((M, _LANES), x_flat.dtype),
-        ],
-        interpret=interpret,
-    )(x2, w2, h2, d2, l2)
-    return out.reshape(N), lad.reshape(N)
+    out, lad = sc.tiled_spline_call(kernel, x, stacks, interpret)
+    return out[:N].reshape(shape), lad[:N].reshape(shape)
 
 
-def _reference(inputs, uw, uh, ud, ul, inverse, tail_bound, min_bin_width,
-               min_bin_height, min_derivative, min_lambda):
+def _run_reference(inputs, params, statics):
+    uw, uh, ud, ul = params
+    (inverse, tail_bound, min_bin_width, min_bin_height, min_derivative,
+     min_lambda) = statics
     return lrs_ref.unconstrained_linear_rational_spline(
         inputs, uw, uh, ud, ul, inverse=inverse, tails="linear",
         tail_bound=tail_bound, min_bin_width=min_bin_width,
@@ -197,68 +135,7 @@ def _reference(inputs, uw, uh, ud, ul, inverse, tail_bound, min_bin_width,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _lrs_pallas_core(inputs, uw, uh, ud, ul, inverse, tail_bound,
-                     min_bin_width, min_bin_height, min_derivative,
-                     min_lambda, interpret):
-    """inputs [...]; uw/uh/ul [..., K]; ud [..., K-1] (linear tails)."""
-    shape = inputs.shape
-    K = uw.shape[-1]
-    N = int(np.prod(shape))
-
-    constant = float(np.log(np.exp(1 - min_derivative) - 1))
-    pad = [(0, 0)] * (ud.ndim - 1) + [(1, 1)]
-    ud_p = jnp.pad(ud, pad, constant_values=constant)
-
-    x = inputs.reshape(N)
-    w_t = uw.reshape(N, K).T
-    h_t = uh.reshape(N, K).T
-    d_t = ud_p.reshape(N, K + 1).T
-    l_t = ul.reshape(N, K).T
-
-    pad_n = (-N) % _TILE
-    if pad_n:
-        x = jnp.pad(x, (0, pad_n))
-        w_t = jnp.pad(w_t, ((0, 0), (0, pad_n)))
-        h_t = jnp.pad(h_t, ((0, 0), (0, pad_n)))
-        d_t = jnp.pad(d_t, ((0, 0), (0, pad_n)))
-        l_t = jnp.pad(l_t, ((0, 0), (0, pad_n)))
-
-    out, lad = _pallas_impl(
-        x, w_t, h_t, d_t, l_t, num_bins=K, inverse=inverse,
-        tail_bound=tail_bound, min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height, min_derivative=min_derivative,
-        min_lambda=min_lambda, interpret=interpret,
-    )
-    if pad_n:
-        out = out[:N]
-        lad = lad[:N]
-    return out.reshape(shape), lad.reshape(shape)
-
-
-def _lrs_fwd(inputs, uw, uh, ud, ul, inverse, tail_bound, min_bin_width,
-             min_bin_height, min_derivative, min_lambda, interpret):
-    outs = _lrs_pallas_core(inputs, uw, uh, ud, ul, inverse, tail_bound,
-                            min_bin_width, min_bin_height, min_derivative,
-                            min_lambda, interpret)
-    return outs, (inputs, uw, uh, ud, ul)
-
-
-def _lrs_bwd(inverse, tail_bound, min_bin_width, min_bin_height,
-             min_derivative, min_lambda, interpret, residuals, cotangents):
-    inputs, uw, uh, ud, ul = residuals
-    from nflows_tpu.config import _suspend_pallas_splines
-    with _suspend_pallas_splines():
-        _, vjp = jax.vjp(
-            lambda i, w, h, d, l: _reference(i, w, h, d, l, inverse, tail_bound,
-                                             min_bin_width, min_bin_height,
-                                             min_derivative, min_lambda),
-            inputs, uw, uh, ud, ul,
-        )
-    return vjp(cotangents)
-
-
-_lrs_pallas_core.defvjp(_lrs_fwd, _lrs_bwd)
+_core = sc.make_spline_core(_run_pallas, _run_reference)
 
 
 def lrs_spline_pallas(
@@ -278,9 +155,10 @@ def lrs_spline_pallas(
     """Fused linear-tail LRS spline; same contract as
     ops.splines.unconstrained_linear_rational_spline with tails='linear'
     and K-1 derivative params."""
-    return _lrs_pallas_core(
-        inputs, unnormalized_widths, unnormalized_heights,
-        unnormalized_derivatives, unnormalized_lambdas, bool(inverse),
-        float(tail_bound), float(min_bin_width), float(min_bin_height),
-        float(min_derivative), float(min_lambda), bool(interpret),
+    return _core(
+        inputs, (unnormalized_widths, unnormalized_heights,
+                 unnormalized_derivatives, unnormalized_lambdas),
+        (bool(inverse), float(tail_bound), float(min_bin_width),
+         float(min_bin_height), float(min_derivative), float(min_lambda)),
+        bool(interpret),
     )

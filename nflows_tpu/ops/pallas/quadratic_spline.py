@@ -18,17 +18,12 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas import _spline_common as sc
 from nflows_tpu.ops.splines import quadratic as q_ref
 
 __all__ = ["quadratic_spline_pallas"]
-
-_LANES = 128
-_ROWS = 64
-_TILE = _LANES * _ROWS
 
 
 def _kernel(x_ref, w_ref, h_ref, out_ref, lad_ref, *,
@@ -40,17 +35,7 @@ def _kernel(x_ref, w_ref, h_ref, out_ref, lad_ref, *,
     x = (jnp.clip(x_orig, -B, B) + B) / (2.0 * B)     # normalized [0, 1]
 
     # ---- width softmax (unrolled) ----
-    wvals = [w_ref[k] for k in range(K)]
-    vmax = wvals[0]
-    for v in wvals[1:]:
-        vmax = jnp.maximum(vmax, v)
-    exps = [jnp.exp(v - vmax) for v in wvals]
-    total = exps[0]
-    for e in exps[1:]:
-        total = total + e
-    inv_total = 1.0 / total
-    widths = [min_bin_width + (1.0 - min_bin_width * K) * e * inv_total
-              for e in exps]
+    widths = sc.softmax_bins([w_ref[k] for k in range(K)], min_bin_width)
 
     # ---- K-1 interior heights (softplus) + normalized boundary solve
     # (reference quadratic.py:88-104) ----
@@ -87,22 +72,10 @@ def _kernel(x_ref, w_ref, h_ref, out_ref, lad_ref, *,
         loc.append(run)
     loc[-1] = one
 
-    # ---- bin search ----
-    search = cdf if inverse else loc
-    idx = jnp.zeros_like(x, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (x >= search[k]).astype(jnp.int32)
-
-    sel_loc, sel_w = loc[0], widths[0]
-    sel_cdf = cdf[0]
-    sel_h0, sel_h1 = heights[0], heights[1]
-    for k in range(1, K):
-        m = idx == k
-        sel_loc = jnp.where(m, loc[k], sel_loc)
-        sel_w = jnp.where(m, widths[k], sel_w)
-        sel_cdf = jnp.where(m, cdf[k], sel_cdf)
-        sel_h0 = jnp.where(m, heights[k], sel_h0)
-        sel_h1 = jnp.where(m, heights[k + 1], sel_h1)
+    # ---- bin search + select ----
+    idx = sc.bin_index_ge(x, cdf if inverse else loc, K)
+    sel_loc, sel_w, sel_cdf, sel_h0, sel_h1 = sc.select_by_index(
+        idx, K, loc[:K], widths, cdf[:K], heights[:K], heights[1:])
 
     a = 0.5 * (sel_h1 - sel_h0) * sel_w
     b = sel_h0 * sel_w
@@ -124,53 +97,22 @@ def _kernel(x_ref, w_ref, h_ref, out_ref, lad_ref, *,
     lad_ref[...] = jnp.where(inside, lad, jnp.zeros_like(lad))
 
 
-def _pallas_impl(x_flat, w_t, h_t, *, num_bins, inverse, tail_bound,
-                 min_bin_width, min_bin_height, interpret):
-    """x_flat [N]; w_t [K, N]; h_t [K-1, N] (N multiple of TILE)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    N = x_flat.shape[0]
-    M = N // _LANES
-    grid = (M // _ROWS,)
-
-    x2 = x_flat.reshape(M, _LANES)
-    w2 = w_t.reshape(num_bins, M, _LANES)
-    h2 = h_t.reshape(num_bins - 1, M, _LANES)
-
+def _run_pallas(inputs, params, statics, interpret):
+    uw, uh = params
+    inverse, tail_bound, min_bin_width, min_bin_height = statics
+    K = uw.shape[-1]
+    x, stacks, N, shape = sc.flatten_pad_params(inputs, [uw, uh])
     kernel = functools.partial(
-        _kernel, num_bins=num_bins, inverse=inverse, tail_bound=tail_bound,
+        _kernel, num_bins=K, inverse=inverse, tail_bound=tail_bound,
         min_bin_width=min_bin_width, min_bin_height=min_bin_height,
     )
-
-    out, lad = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_bins, _ROWS, _LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_bins - 1, _ROWS, _LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, _LANES), x_flat.dtype),
-            jax.ShapeDtypeStruct((M, _LANES), x_flat.dtype),
-        ],
-        interpret=interpret,
-    )(x2, w2, h2)
-    return out.reshape(N), lad.reshape(N)
+    out, lad = sc.tiled_spline_call(kernel, x, stacks, interpret)
+    return out[:N].reshape(shape), lad[:N].reshape(shape)
 
 
-def _reference(inputs, uw, uh, inverse, tail_bound, min_bin_width,
-               min_bin_height):
+def _run_reference(inputs, params, statics):
+    uw, uh = params
+    inverse, tail_bound, min_bin_width, min_bin_height = statics
     return q_ref.unconstrained_quadratic_spline(
         inputs, uw, uh, inverse=inverse, tails="linear",
         tail_bound=tail_bound, min_bin_width=min_bin_width,
@@ -178,56 +120,7 @@ def _reference(inputs, uw, uh, inverse, tail_bound, min_bin_width,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _q_pallas_core(inputs, uw, uh, inverse, tail_bound, min_bin_width,
-                   min_bin_height, interpret):
-    """inputs [...]; uw [..., K]; uh [..., K-1] (linear tails)."""
-    shape = inputs.shape
-    K = uw.shape[-1]
-    N = int(np.prod(shape))
-
-    x = inputs.reshape(N)
-    w_t = uw.reshape(N, K).T
-    h_t = uh.reshape(N, K - 1).T
-
-    pad_n = (-N) % _TILE
-    if pad_n:
-        x = jnp.pad(x, (0, pad_n))
-        w_t = jnp.pad(w_t, ((0, 0), (0, pad_n)))
-        h_t = jnp.pad(h_t, ((0, 0), (0, pad_n)))
-
-    out, lad = _pallas_impl(
-        x, w_t, h_t, num_bins=K, inverse=inverse, tail_bound=tail_bound,
-        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
-        interpret=interpret,
-    )
-    if pad_n:
-        out = out[:N]
-        lad = lad[:N]
-    return out.reshape(shape), lad.reshape(shape)
-
-
-def _q_fwd(inputs, uw, uh, inverse, tail_bound, min_bin_width,
-           min_bin_height, interpret):
-    outs = _q_pallas_core(inputs, uw, uh, inverse, tail_bound,
-                          min_bin_width, min_bin_height, interpret)
-    return outs, (inputs, uw, uh)
-
-
-def _q_bwd(inverse, tail_bound, min_bin_width, min_bin_height, interpret,
-           residuals, cotangents):
-    inputs, uw, uh = residuals
-    from nflows_tpu.config import _suspend_pallas_splines
-    with _suspend_pallas_splines():
-        _, vjp = jax.vjp(
-            lambda i, w, h: _reference(i, w, h, inverse, tail_bound,
-                                       min_bin_width, min_bin_height),
-            inputs, uw, uh,
-        )
-    return vjp(cotangents)
-
-
-_q_pallas_core.defvjp(_q_fwd, _q_bwd)
+_core = sc.make_spline_core(_run_pallas, _run_reference)
 
 
 def quadratic_spline_pallas(
@@ -242,8 +135,8 @@ def quadratic_spline_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused linear-tail quadratic spline. Same contract as
     ops.splines.unconstrained_quadratic_spline (K-1 heights)."""
-    return _q_pallas_core(
-        inputs, unnormalized_widths, unnormalized_heights, bool(inverse),
-        float(tail_bound), float(min_bin_width), float(min_bin_height),
-        bool(interpret),
+    return _core(
+        inputs, (unnormalized_widths, unnormalized_heights),
+        (bool(inverse), float(tail_bound), float(min_bin_width),
+         float(min_bin_height)), bool(interpret),
     )

@@ -99,7 +99,8 @@ def test_can_fuse_rejects_unsupported():
     assert can_fuse_nsf(_flow())
     assert can_fuse_nsf(_flow(spline="lrs"))   # LRS family fuses too
     # context'd flow -> not fusable
-    assert not can_fuse_nsf(_flow(context_features=3))
+    # context'd flows fuse since round 3 (test_conditional_flow_fuses...)
+    assert can_fuse_nsf(_flow(context_features=3))
     from nflows_tpu.flows import MaskedAutoregressiveFlow
     assert not can_fuse_nsf(MaskedAutoregressiveFlow(
         features=4, hidden_features=16, num_layers=2,
