@@ -1,0 +1,103 @@
+"""Fused-training benchmark: FusedNSFTrainer (forward+backward Pallas
+megakernels) vs the XLA scan-fused train loop at the flagship config.
+
+Round-2 VERDICT item 2's "done" bar: fused train_step >= 1.2x the XLA
+train step at the flagship config, or a measurement-backed impossibility
+note in DESIGN.md. Both paths run identical math (Adam, fp32 params,
+-mean log_prob loss); timing per benchmarks/_timing.py (dispatch ->
+scalar fetch on fresh inputs, scan windows amortize the round trip).
+
+Usage: python benchmarks/bench_fused_train.py [--batch 512 2048 8192]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--features", type=int, default=6)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--layers", type=int, default=10)
+    p.add_argument("--blocks", type=int, default=2)
+    p.add_argument("--bins", type=int, default=8)
+    p.add_argument("--batch", type=int, nargs="+", default=[512, 2048, 8192])
+    p.add_argument("--inner", type=int, default=100,
+                   help="train steps per dispatch (lax.scan window)")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from benchmarks._timing import timeit_calls
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+    from nflows_tpu.training import create_train_state
+    from nflows_tpu.training.train import make_scan_train_step
+
+    rng = np.random.default_rng(0)
+
+    def flow_for():
+        return NeuralSplineFlow(
+            features=args.features, hidden_features=args.hidden,
+            num_layers=args.layers, num_blocks_per_layer=args.blocks,
+            num_bins=args.bins, key=jax.random.key(0),
+            rng=np.random.default_rng(0), stacked=True)
+
+    for batch in args.batch:
+        windows = [
+            jnp.asarray(rng.normal(size=(args.inner, batch, args.features)),
+                        dtype=jnp.float32)
+            for _ in range(args.reps + 1)
+        ]
+
+        # ---- XLA scan-fused loop (bench.py's path, fp32 for parity) ----
+        flow = flow_for()
+        opt = optax.adam(3e-4)
+        state = create_train_state(flow, opt)
+        steps = make_scan_train_step(opt)
+
+        def run_xla(w):
+            return steps(state, w)
+
+        def drain_xla(out):
+            s2, losses = out
+            return float(losses[-1])
+
+        t_xla = timeit_calls(run_xla, [(w,) for w in windows], drain_xla)
+        sps_xla = args.inner / t_xla
+
+        # ---- fused megakernel trainer ----
+        trainer = FusedNSFTrainer(flow_for(), batch_size=batch)
+        fused_steps = trainer.make_scan_train_step(opt, args.inner)
+        weights = trainer.weights
+        opt_state = trainer.init_opt(opt)
+
+        def run_fused(w):
+            return fused_steps(
+                jax.tree_util.tree_map(jnp.copy, weights),
+                jax.tree_util.tree_map(jnp.copy, opt_state), w)
+
+        def drain_fused(out):
+            _, _, losses = out
+            return float(losses[-1])
+
+        t_fused = timeit_calls(run_fused, [(w,) for w in windows],
+                               drain_fused)
+        sps_fused = args.inner / t_fused
+
+        print(f"batch {batch:6d}: XLA {sps_xla:8.1f} steps/s "
+              f"({1e6*t_xla/args.inner:7.1f} us) | fused {sps_fused:8.1f} "
+              f"steps/s ({1e6*t_fused/args.inner:7.1f} us) | "
+              f"fused/XLA = {sps_fused/sps_xla:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
