@@ -77,3 +77,23 @@ def set_matmul_precision(precision: str = "bfloat16") -> None:
     """
     import jax
     jax.config.update("jax_default_matmul_precision", precision)
+
+
+def conv_layout(layout: str = None) -> str:
+    """Get/set the internal convolution layout ('nchw' default, 'nhwc').
+
+    Module arrays stay NCHW at every boundary (reference parity); 'nhwc'
+    only changes how Conv2d issues the underlying convolution — operands
+    transposed to NHWC/HWIO at the call site, result transposed back. On
+    TPU, XLA's transpose folding cancels the adjacent transposes between
+    consecutive convs/elementwise ops, and NHWC is the layout the conv
+    emitter tiles natively (channels on lanes), so conv-heavy image flows
+    avoid a per-conv re-layout. Numerics are identical either way
+    (tests/nn/test_nets.py); measure with benchmarks/bench_glow_layout.py.
+    """
+    if layout is not None:
+        layout = layout.lower()
+        if layout not in ("nchw", "nhwc"):
+            raise ValueError("conv layout must be 'nchw' or 'nhwc'")
+        _state["conv_layout"] = layout
+    return _state.get("conv_layout", "nchw")

@@ -38,7 +38,7 @@ class GlowFlow(Flow):
 
     def __init__(self, image_shape, num_levels=2, steps_per_level=4,
                  hidden_channels=64, coupling="affine", num_bins=4,
-                 key=None, rng=None):
+                 key=None, rng=None, stacked=False):
         key = ensure_key(key)
         if rng is None:
             # derive permutation/1x1-conv randomness from `key` so
@@ -54,13 +54,12 @@ class GlowFlow(Flow):
         for level in range(num_levels):
             squeeze = SqueezeTransform(factor=2)
             sc, sh, sw = squeeze.get_output_shape(*shape)
-            level_layers = [squeeze]
+            steps = []
             for _ in range(steps_per_level):
                 layer_key = keys[k_idx]
                 k_idx += 1
-                level_layers.append(ActNorm(sc))
-                level_layers.append(OneByOneConvolution(sc, rng=rng,
-                                                        key=layer_key))
+                step = [ActNorm(sc),
+                        OneByOneConvolution(sc, rng=rng, key=layer_key)]
 
                 def create_net(in_c, out_c, _k=layer_key):
                     return ConvResidualNet(in_c, out_c,
@@ -69,14 +68,25 @@ class GlowFlow(Flow):
 
                 mask = create_mid_split_binary_mask(sc)
                 if coupling == "affine":
-                    level_layers.append(AffineCouplingTransform(mask, create_net))
+                    step.append(AffineCouplingTransform(mask, create_net))
                 elif coupling == "rq":
-                    level_layers.append(
+                    step.append(
                         PiecewiseRationalQuadraticCouplingTransform(
                             mask, create_net, num_bins=num_bins,
                             tails="linear", tail_bound=3.0))
                 else:
                     raise ValueError(f"unknown coupling {coupling!r}")
+                steps.append(step)
+            if stacked:
+                # the per-level [ActNorm, 1x1conv, coupling] steps are
+                # homogeneous: run them as one lax.scan (the image analogue
+                # of the tabular stacked fast path — compile time drops by
+                # ~steps_per_level, the conv weights stay MXU-resident)
+                from nflows_tpu.transforms.stacked import stack_transforms
+                level_layers = [squeeze, stack_transforms(
+                    [CompositeTransform(s) for s in steps])]
+            else:
+                level_layers = [squeeze] + [t for s in steps for t in s]
             next_shape = builder.add_transform(
                 CompositeTransform(level_layers), (sc, sh, sw))
             if next_shape is not None:

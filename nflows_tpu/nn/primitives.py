@@ -111,6 +111,21 @@ class Conv2d(Module):
         self.padding = tuple(padding)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from nflows_tpu.config import conv_layout
+
+        if conv_layout() == "nhwc":
+            # TPU-native layout: channels ride the lanes. Arrays stay NCHW
+            # at module boundaries; XLA folds the adjacent transposes
+            # between consecutive convs (see config.conv_layout).
+            y = jax.lax.conv_general_dilated(
+                x, self.weight,
+                window_strides=self.stride,
+                padding=self.padding,
+                dimension_numbers=("NCHW", "OIHW", "NHWC"),
+            )
+            if self.bias is not None:
+                y = y + self.bias[None, None, None, :]
+            return y.transpose(0, 3, 1, 2)
         y = jax.lax.conv_general_dilated(
             x, self.weight,
             window_strides=self.stride,

@@ -65,3 +65,39 @@ def test_iaf_fast_sampling():
     s2, lp2 = flow.sample_and_log_prob(jax.random.key(2), 32)
     np.testing.assert_allclose(np.asarray(lp2), np.asarray(flow.log_prob(s2)),
                                atol=1e-3)
+
+
+def test_glow_stacked_and_nhwc_layout():
+    """Round-3 item 10 (CPU-checkable half): the scan-stacked per-level
+    step chain matches the unrolled Glow exactly, and the NHWC-internal
+    conv layout changes nothing numerically."""
+    import numpy as np
+    from nflows_tpu import config
+    from nflows_tpu.models.glow import GlowFlow
+
+    kw = dict(image_shape=(3, 8, 8), num_levels=2, steps_per_level=3,
+              hidden_channels=16, coupling="rq", num_bins=4,
+              key=jax.random.key(0))
+    unrolled = GlowFlow(rng=np.random.default_rng(0), **kw)
+    stacked = GlowFlow(rng=np.random.default_rng(0), stacked=True, **kw)
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 3, 8, 8)),
+                    dtype=jnp.float32)
+    unrolled = unrolled.initialize_actnorms(x)
+    stacked = stacked.initialize_actnorms(x)
+
+    lp_u = unrolled.log_prob(x)
+    lp_s = stacked.log_prob(x)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_u),
+                               rtol=2e-5)
+    s_u = unrolled.sample(jax.random.key(2), 3)
+    s_s = stacked.sample(jax.random.key(2), 3)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u), atol=1e-4)
+
+    config.conv_layout("nhwc")
+    try:
+        lp_nhwc = stacked.log_prob(x)
+    finally:
+        config.conv_layout("nchw")
+    np.testing.assert_allclose(np.asarray(lp_nhwc), np.asarray(lp_s),
+                               atol=1e-4)
