@@ -1,0 +1,181 @@
+"""Image-flow (Glow/multiscale) trained-to-convergence NLL parity.
+
+Round-2 VERDICT item 6: the image stack's correctness rested on
+weight-transplant interop tests alone; this adds a convergence
+comparison. Both libraries train the SAME small Glow (2 levels x 3
+steps of [ActNorm, 1x1conv, affine coupling(ConvResidualNet)],
+multiscale split) on identical draws from a synthetic smooth 3x8x8
+image distribution (low-dim latent -> fixed random decoder -> tanh ->
+noise, standardized), same Adam schedule and minibatch stream; compared
+on held-out test NLL (nats per image on standardized pixels).
+
+Usage:
+  python benchmarks/parity_image.py --impl ref  [--seed 0]  # torch CPU
+  python benchmarks/parity_image.py --impl ours [--seed 0]  # TPU
+Appends one JSON line to benchmarks/parity_image_results.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, ".")
+REFERENCE_PATH = "/root/reference"
+
+C, H, W = 3, 8, 8
+LEVELS, STEPS_PER_LEVEL, HIDDEN = 2, 3, 32
+BATCH, STEPS, LR = 256, 3000, 5e-4
+N_TRAIN, N_TEST = 20_000, 4_000
+
+
+def make_image_data(seed=0):
+    rng = np.random.default_rng(seed)
+    latent_dim = 6
+    decoder = rng.normal(size=(latent_dim, C * H * W)) * 1.2
+    z = rng.normal(size=(N_TRAIN + N_TEST, latent_dim))
+    X = np.tanh(z @ decoder) + 0.15 * rng.normal(
+        size=(N_TRAIN + N_TEST, C * H * W))
+    X = X.astype(np.float32)
+    mu, sd = X[:N_TRAIN].mean(0), X[:N_TRAIN].std(0)
+    X = ((X - mu) / sd).reshape(-1, C, H, W)
+    return X[:N_TRAIN], X[N_TRAIN:]
+
+
+def minibatch_stream(n, seed):
+    rng = np.random.default_rng(seed + 10_000)
+    while True:
+        yield rng.integers(0, n, BATCH)
+
+
+def run_ours(Xtr, Xte, seed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nflows_tpu.models.glow import GlowFlow
+    from nflows_tpu.training import create_train_state
+    from nflows_tpu.training.train import make_scan_train_step
+
+    flow = GlowFlow(image_shape=(C, H, W), num_levels=LEVELS,
+                    steps_per_level=STEPS_PER_LEVEL,
+                    hidden_channels=HIDDEN, coupling="affine",
+                    key=jax.random.key(seed),
+                    rng=np.random.default_rng(seed))
+    flow = flow.initialize_actnorms(jnp.asarray(Xtr[:BATCH]))
+    opt = optax.adam(LR)
+    state = create_train_state(flow, opt)
+    steps_fn = make_scan_train_step(opt)
+
+    stream = minibatch_stream(len(Xtr), seed)
+    t0 = time.time()
+    window = 250
+    for start in range(0, STEPS, window):
+        idx = np.stack([next(stream) for _ in range(window)])
+        state, losses = steps_fn(state, jnp.asarray(Xtr[idx]))
+    train_s = time.time() - t0
+
+    flow = state.flow
+    lp = []
+    for i in range(0, len(Xte), 1000):
+        lp.append(np.asarray(flow.log_prob(jnp.asarray(Xte[i:i + 1000]))))
+    test_nll = float(-np.concatenate(lp).mean())
+    return test_nll, float(losses[-1]), train_s
+
+
+def run_ref(Xtr, Xte, seed):
+    import torch
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    if "UMNN" not in sys.modules:
+        stub = types.ModuleType("UMNN")
+        stub.NeuralIntegral = object
+        stub.ParallelNeuralIntegral = object
+        sys.modules["UMNN"] = stub
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(8)
+
+    from nflows.distributions import StandardNormal
+    from nflows.flows.base import Flow
+    from nflows.nn import nets
+    from nflows.transforms import (
+        ActNorm,
+        AffineCouplingTransform,
+        CompositeTransform,
+        MultiscaleCompositeTransform,
+        OneByOneConvolution,
+        SqueezeTransform,
+    )
+    from nflows.utils import create_mid_split_binary_mask
+
+    transform = MultiscaleCompositeTransform(num_transforms=LEVELS)
+    c, h, w = C, H, W
+    for level in range(LEVELS):
+        squeeze = SqueezeTransform(factor=2)
+        sc, sh, sw = squeeze.get_output_shape(c, h, w)
+        layers = [squeeze]
+        for _ in range(STEPS_PER_LEVEL):
+            layers.append(ActNorm(sc))
+            layers.append(OneByOneConvolution(sc))
+
+            def create_net(i, o):
+                return nets.ConvResidualNet(i, o, hidden_channels=HIDDEN,
+                                            num_blocks=2)
+
+            layers.append(AffineCouplingTransform(
+                create_mid_split_binary_mask(sc), create_net))
+        next_shape = transform.add_transform(
+            CompositeTransform(layers), (sc, sh, sw))
+        if next_shape is not None:
+            c, h, w = next_shape
+    flow = Flow(transform, StandardNormal([C * H * W]))
+    optimizer = torch.optim.Adam(flow.parameters(), lr=LR)
+
+    Xtr_t = torch.tensor(Xtr)
+    stream = minibatch_stream(len(Xtr), seed)
+    t0 = time.time()
+    for step in range(STEPS):
+        idx = next(stream)
+        loss = -flow.log_prob(Xtr_t[idx]).mean()
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+    train_s = time.time() - t0
+
+    flow.eval()
+    with torch.no_grad():
+        lp = []
+        for i in range(0, len(Xte), 1000):
+            lp.append(flow.log_prob(torch.tensor(Xte[i:i + 1000])).numpy())
+    test_nll = float(-np.concatenate(lp).mean())
+    return test_nll, float(loss), train_s
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--impl", choices=["ours", "ref"], required=True)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    Xtr, Xte = make_image_data(seed=0)  # data seed fixed; arg seeds init
+    run = run_ours if args.impl == "ours" else run_ref
+    test_nll, final_train, train_s = run(Xtr, Xte, args.seed)
+
+    rec = dict(impl=args.impl, seed=args.seed, shape=[C, H, W],
+               levels=LEVELS, steps_per_level=STEPS_PER_LEVEL,
+               hidden=HIDDEN, steps=STEPS, test_nll=test_nll,
+               final_train_loss=final_train, train_seconds=round(train_s, 1))
+    path = os.path.join("benchmarks", "parity_image_results.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

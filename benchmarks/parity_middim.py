@@ -70,7 +70,7 @@ def run_ours(Xtr, Xte, dim, seed):
         features=dim, hidden_features=HIDDEN, num_layers=LAYERS,
         num_blocks_per_layer=BLOCKS, num_bins=BINS, tail_bound=TAIL,
         key=jax.random.key(seed), rng=np.random.default_rng(seed),
-        use_random_permutations=True, stacked=(dim % 2 == 0))
+        use_random_permutations=True, stacked=True)  # odd d stacks (round 3)
     opt = optax.adam(LR)
     state = create_train_state(flow, opt)
     steps_fn = make_scan_train_step(opt)
