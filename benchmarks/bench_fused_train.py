@@ -62,7 +62,9 @@ def main():
         flow = flow_for()
         opt = optax.adam(3e-4)
         state = create_train_state(flow, opt)
-        steps = make_scan_train_step(opt)
+        # donate=False: timeit_calls reuses `state` across warmup + reps;
+        # donation would invalidate its buffers after the first call
+        steps = make_scan_train_step(opt, donate=False)
 
         def run_xla(w):
             return steps(state, w)
@@ -76,7 +78,7 @@ def main():
 
         # ---- fused megakernel trainer ----
         trainer = FusedNSFTrainer(flow_for(), batch_size=batch)
-        fused_steps = trainer.make_scan_train_step(opt, args.inner)
+        fused_steps = trainer.make_scan_train_step(opt)
         weights = trainer.weights
         opt_state = trainer.init_opt(opt)
 

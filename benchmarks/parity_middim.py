@@ -33,7 +33,18 @@ N_TRAIN, N_TEST = 50_000, 10_000
 
 
 def make_gmm_data(dim, seed=0):
-    """Fixed 4-component full-covariance-ish GMM, standardized."""
+    """Fixed 4-component full-covariance-ish GMM, standardized.
+
+    The per-sample ``multivariate_normal`` loop re-factorizes a dim x dim
+    covariance 60k times (minutes at d=63 on this 1-core host), and every
+    (impl, seed) process regenerates the SAME arrays — so cache to disk.
+    The cache only memoizes; the draws are byte-identical to a cold run.
+    """
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_gmm_cache", f"gmm_d{dim}_s{seed}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["Xtr"], z["Xte"]
     rng = np.random.default_rng(seed)
     K = 4
     means = rng.normal(size=(K, dim)) * 2.0
@@ -48,6 +59,8 @@ def make_gmm_data(dim, seed=0):
     ]).astype(np.float32)
     mu, sd = X[:N_TRAIN].mean(0), X[:N_TRAIN].std(0)
     X = (X - mu) / sd
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, Xtr=X[:N_TRAIN], Xte=X[N_TRAIN:])
     return X[:N_TRAIN], X[N_TRAIN:]
 
 

@@ -25,6 +25,12 @@ _state = {
     # workloads (learned-CDF stacks with no adjacent GEMM) with
     # set_pallas_splines(True) or NFLOWS_TPU_ENABLE_PALLAS=1.
     "use_pallas_splines": None,
+    # Whole-flow megakernel spline stage: operate on the K-bin-packed
+    # [K*T, R] sublane layout (full VPU utilization, structural moves as
+    # tiny kron(S, I_T) MXU matmuls) instead of ~O(K) chains of skinny
+    # [T, R] ops. See nsf_flow_kernel._rq_spline_TR_packed. None currently
+    # resolves to False (unpacked) pending TPU measurement; True opts in.
+    "packed_spline_select": None,
 }
 
 
@@ -65,6 +71,14 @@ def use_pallas_splines(enable=None):
 
 def set_pallas_splines(enable: bool) -> None:
     _state["use_pallas_splines"] = bool(enable)
+
+
+def packed_spline_select(enable=None):
+    """Get/set the megakernel's packed-sublane spline stage (see _state)."""
+    if enable is not None:
+        _state["packed_spline_select"] = bool(enable)
+    setting = _state["packed_spline_select"]
+    return False if setting is None else setting
 
 
 def set_matmul_precision(precision: str = "bfloat16") -> None:

@@ -30,7 +30,7 @@ __all__ = [
     "LANES", "ROWS", "TILE",
     "pallas_available", "softmax_bins", "running_cdf", "edges_from_bins",
     "bin_index_ge", "select_by_index", "tiled_spline_call",
-    "make_spline_core",
+    "flatten_pad_params", "make_spline_core",
 ]
 
 LANES = 128
@@ -117,7 +117,8 @@ def tiled_spline_call(kernel, x_flat, param_stacks, interpret):
     """Run ``kernel(x_ref, *param_refs, out_ref, lad_ref)`` over N elements
     on lanes. ``param_stacks`` is a list of [P_i, N] tensors (P_i = per-
     element parameter count, e.g. K or K+1); N must be a multiple of TILE
-    (use :func:`pad_flat` / callers pad). Returns (out [N], lad [N])."""
+    (use :func:`flatten_pad_params` / callers pad). Returns
+    (out [N], lad [N])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -291,6 +291,19 @@ def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
         sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
         sel_lam = jnp.where(m, lams[k], sel_lam)
 
+    out, lad = _lrs_eval_selected(
+        x, sel_w, sel_h, sel_x0, sel_y0, sel_d0, sel_d1, sel_lam, inverse)
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+def _lrs_eval_selected(x, sel_w, sel_h, sel_x0, sel_y0, sel_d0, sel_d1,
+                       sel_lam, inverse):
+    """LRS per-bin evaluation once the bin's parameters are selected —
+    shared by the unpacked and packed spline stages (identical math, so
+    both forms agree exactly downstream of the select)."""
     y1 = sel_y0 + sel_h
     wb = jnp.sqrt(sel_d0 / sel_d1)
     ym = ((1.0 - sel_lam) * sel_y0 + sel_lam * wb * y1) / (
@@ -332,13 +345,240 @@ def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     lad = jnp.where(use_a, log_deriv_a, log_deriv_b)
     if inverse:
         lad = -lad
+    return out, lad
+
+
+def _group_kron(go, gi, T, rel, dtype=jnp.float32):
+    """kron(S, I_T) for a 0/1 group-relation matrix S, built IN-TRACE.
+
+    ``S[a, b] = rel(a, b)`` over ``go`` output groups x ``gi`` input
+    groups; the result is the [go*T, gi*T] block matrix with ``I_T`` at
+    every (a, b) where ``rel`` holds. Constructed from ``broadcasted_iota``
+    (not a numpy constant) so it is legal inside a ``pallas_call`` kernel —
+    captured jnp constants are rejected there; iota is computed on-core.
+    """
+    rows, cols = go * T, gi * T
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    same_lane = (ri % T) == (ci % T)
+    return (same_lane & rel(ri // T, ci // T)).astype(dtype)
+
+
+def _group_index_col(K, T, dtype=jnp.int32):
+    """[K*T, 1] column whose entry is the group index i // T (in-trace)."""
+    return jax.lax.broadcasted_iota(dtype, (K * T, 1), 0) // T
+
+
+def _fold_max(t, n, T):
+    """Tree-max over n groups of T sublane rows: [nT, R] -> [T, R]."""
+    while n > 1:
+        m = n // 2
+        lo = t[: m * T]
+        hi = t[m * T: 2 * m * T]
+        folded = jnp.maximum(lo, hi)
+        if n % 2:
+            folded = jnp.concatenate([folded, t[2 * m * T:]], axis=0)
+            n = m + 1
+        else:
+            n = m
+        t = folded
+    return t
+
+
+def _packed_select(x, P, *, K, T, inverse, B, min_bin_width,
+                   min_bin_height, min_derivative, deriv_offset):
+    """Shared packed-sublane spline front half: softmax-normalize widths/
+    heights, build bin edges, locate each sample's bin, and select that
+    bin's parameters — all on the [K*T, R] packed block, with every
+    structural move a ``kron(S, I_T)`` 0/1 matmul (see
+    :func:`_rq_spline_TR_packed` for why). ``deriv_offset`` is the
+    group index where the K-1 interior derivative rows start (2K for RQ,
+    3K for LRS, whose lambdas occupy groups 2K..3K).
+
+    Returns ``(sel, onehot, mm, Ms)``: ``sel`` holds the selected bin
+    width ``xw``, height ``xh``, left edges ``cw``/``ch`` and boundary
+    derivatives ``d0``/``d1`` as [T, R] tensors; ``onehot`` [K*T, R],
+    ``mm``/``Ms`` let callers select extra per-bin fields
+    (``mm(Ms, onehot * field)``).
+    """
+    KT = K * T
+    f32 = jnp.float32
+    true_ = lambda a, b: (a >= 0) | (b >= 0)             # all groups
+    Mb = _group_kron(K, 1, T, true_)                     # [KT, T] bcast
+    Ms = _group_kron(1, K, T, true_)                     # [T, KT] group-sum
+    Lp = _group_kron(K, K, T, lambda a, b: a >= b)       # inclusive prefix
+    Sdn = _group_kron(K, K, T, lambda a, b: a == b + 1)  # out k = in k-1
+    Sup = _group_kron(K, K, T, lambda a, b: a + 1 == b)  # out k = in k+1
+    Ms1 = _group_kron(1, K + 1, T, true_)                # [(K+1)T] group-sum
+    gidx = _group_index_col(K, T)                        # [KT, 1]
+    first = (gidx == 0).astype(f32)
+    last = (gidx == K - 1).astype(f32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def normalize_packed(V, min_size):
+        vmax = _fold_max(V, K, T)                        # [T, R]
+        e = jnp.exp(V - mm(Mb, vmax))
+        tot = mm(Ms, e)                                  # [T, R]
+        return min_size + (1.0 - min_size * K) * e * mm(Mb, 1.0 / tot)
+
+    w = normalize_packed(P[:KT], min_bin_width)          # [KT, R]
+    h = normalize_packed(P[KT:2 * KT], min_bin_height)
+
+    def edges_packed(bins):
+        right = 2.0 * B * mm(Lp, bins) - B
+        right = right + last * (B - right)               # exact B at k=K-1
+        left = mm(Sdn, right)                            # exact copy of k-1
+        left = left + first * (-B - left)                # exact -B at k=0
+        return left, right
+
+    left_w, right_w = edges_packed(w)
+    left_h, right_h = edges_packed(h)
+    bin_w = right_w - left_w
+    bin_h = right_h - left_h
+
+    one_T = jnp.ones((T, x.shape[1]), dtype=f32)
+    do = deriv_offset * T
+    d_int = min_derivative + jnp.logaddexp(P[do:do + (K - 1) * T], 0.0)
+    derivs = jnp.concatenate([one_T, d_int, one_T], axis=0)  # [(K+1)T, R]
+
+    xb = mm(Mb, x)                                       # [KT, R]
+    search_left = left_h if inverse else left_w
+    ge = (xb >= search_left).astype(f32)                 # ge[0] == 1 (clipped)
+    onehot = ge - mm(Sup, ge)                            # exactly one-hot
+
+    zero_T = jnp.zeros((T, x.shape[1]), dtype=f32)
+    oh_d0 = jnp.concatenate([onehot, zero_T], axis=0)    # deriv group k
+    oh_d1 = jnp.concatenate([zero_T, onehot], axis=0)    # deriv group k+1
+
+    sel = dict(
+        xw=mm(Ms, onehot * bin_w),
+        xh=mm(Ms, onehot * bin_h),
+        cw=mm(Ms, onehot * left_w),
+        ch=mm(Ms, onehot * left_h),
+        d0=mm(Ms1, oh_d0 * derivs),
+        d1=mm(Ms1, oh_d1 * derivs),
+    )
+    return sel, onehot, mm, Ms
+
+
+def _lrs_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
+                          min_bin_width, min_bin_height, min_derivative,
+                          min_lambda):
+    """Linear-rational spline with the K-bin axis packed on sublanes —
+    the LRS counterpart of :func:`_rq_spline_TR_packed` (same packed
+    front half via :func:`_packed_select`, plus a packed lambda select;
+    the per-bin evaluation is the exact :func:`_lrs_eval_selected` shared
+    with the unpacked form, so the two variants differ only by
+    reassociation in the select stage)."""
+    K = num_bins
+    if K < 2:
+        return _lrs_spline_TR(
+            x_in, P, num_bins=num_bins, T=T, inverse=inverse,
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative,
+            min_lambda=min_lambda)
+    B = tail_bound
+    KT = K * T
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    sel, onehot, mm, Ms = _packed_select(
+        x, P, K=K, T=T, inverse=inverse, B=B,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, deriv_offset=3 * K)
+
+    lams = min_lambda + (1.0 - 2.0 * min_lambda) / (
+        1.0 + jnp.exp(-P[2 * KT:3 * KT]))                # [KT, R]
+    sel_lam = mm(Ms, onehot * lams)
+
+    out, lad = _lrs_eval_selected(
+        x, sel["xw"], sel["xh"], sel["cw"], sel["ch"],
+        sel["d0"], sel["d1"], sel_lam, inverse)
 
     out = jnp.where(inside, out, x_orig)
     lad = jnp.where(inside, lad, jnp.zeros_like(lad))
     return out, lad
 
 
-_SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR}
+def _rq_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
+                         min_bin_width, min_bin_height, min_derivative):
+    """RQ spline on [T, R] tensors with the K-bin axis PACKED on sublanes.
+
+    Same math/semantics as :func:`_rq_spline_TR`, restructured for the
+    VPU: the round-2 cost anatomy (BASELINE.md) showed the megakernel
+    bound by ~O(K) chains of skinny [T, R] elementwise ops at T=3 (3/8
+    sublanes); here the softmax, edge construction, bin search and select
+    all operate on the [K*T, R] packed block at full sublane utilization,
+    and every *structural* move — group broadcast, prefix-sum, one-group
+    shift, one-hot select-reduce — is a tiny stationary ``kron(S, I_T)``
+    matmul on the MXU instead of a concat/shift network on the VPU (the
+    concat-shift form of the packed select hangs this toolchain's Mosaic
+    compiler — bisected in DESIGN.md round 3; matmuls lower robustly).
+
+    Numerics: reductions reassociate (tree max / MXU accumulation), so
+    results can differ from the unpacked variant by ~1 ulp; bin-edge
+    consistency is exact because adjacent-group left/right edges are
+    bit-identical copies (0/1 shift matrices), so every sample lands in
+    exactly one bin.
+    """
+    K = num_bins
+    if K < 2:
+        return _rq_spline_TR(
+            x_in, P, num_bins=num_bins, T=T, inverse=inverse,
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative)
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    sel, _, _, _ = _packed_select(
+        x, P, K=K, T=T, inverse=inverse, B=B,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, deriv_offset=2 * K)
+    sel_xw, sel_xh = sel["xw"], sel["xh"]
+    sel_cw, sel_ch = sel["cw"], sel["ch"]
+    sel_d0, sel_d1 = sel["d0"], sel["d1"]
+
+    delta = sel_xh / sel_xw
+    d_sum = sel_d0 + sel_d1 - 2.0 * delta
+
+    if inverse:
+        y_rel = x - sel_ch
+        a = y_rel * d_sum + sel_xh * (delta - sel_d0)
+        b = sel_xh * sel_d0 - y_rel * d_sum
+        c = -delta * y_rel
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        theta = (2.0 * c) / (-b - jnp.sqrt(disc))
+        out = theta * sel_xw + sel_cw
+    else:
+        theta = (x - sel_cw) / sel_xw
+        num = sel_xh * (delta * theta * theta + sel_d0 * theta * (1.0 - theta))
+        den = delta + d_sum * theta * (1.0 - theta)
+        out = sel_ch + num / den
+
+    tomt = theta * (1.0 - theta)
+    denominator = delta + d_sum * tomt
+    deriv_num = delta * delta * (
+        sel_d1 * theta * theta + 2.0 * delta * tomt
+        + sel_d0 * (1.0 - theta) * (1.0 - theta)
+    )
+    lad = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
+    if inverse:
+        lad = -lad
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+_SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
+               "rq_packed": _rq_spline_TR_packed,
+               "lrs_packed": _lrs_spline_TR_packed}
 
 
 def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
@@ -430,6 +670,8 @@ def nsf_flow_kernel_call(
     wcb: jnp.ndarray = None,          # [L, num_blocks, H, C] GLU projections
     bcb: jnp.ndarray = None,          # [L, num_blocks, H, 1] fp32
     wh_scale: float = None,           # in-kernel width/height rescale
+    packed_select: bool = None,       # packed-sublane spline stage (None =
+                                      # config.packed_spline_select())
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused chain. Returns (y_t [D, N], logabsdet [1, N])."""
     from jax.experimental import pallas as pl
@@ -470,8 +712,13 @@ def nsf_flow_kernel_call(
         wcb = jnp.zeros((1, 1), dtype=w0.dtype)
         bcb = jnp.zeros((1, 1), dtype=jnp.float32)
 
-    if spline not in _SPLINES_TR:
-        raise ValueError(f"spline must be one of {sorted(_SPLINES_TR)}")
+    if spline not in ("rq", "lrs"):
+        raise ValueError("spline must be one of ['lrs', 'rq']")
+    if packed_select is None:
+        from nflows_tpu import config
+        packed_select = config.packed_spline_select()
+    if packed_select and f"{spline}_packed" in _SPLINES_TR:
+        spline = f"{spline}_packed"
     spline_kw = dict(
         tail_bound=tail_bound, min_bin_width=min_bin_width,
         min_bin_height=min_bin_height, min_derivative=min_derivative,

@@ -249,6 +249,8 @@ def nsf_train_vjp_call(indices, static, lanes, interpret):
     holds fp32 kernel-layout stacks (w0/b0/wb/bb/wf/bf) extracted with
     ``fold_wh_scale=False``.
     """
+    from nflows_tpu import config
+
     spline_kw = dict(
         tail_bound=static["tail_bound"],
         min_bin_width=static["min_bin_width"],
@@ -257,11 +259,17 @@ def nsf_train_vjp_call(indices, static, lanes, interpret):
     )
     if static["spline"] == "lrs":
         spline_kw["min_lambda"] = static["min_lambda"]
+    # resolve the packed-select choice ONCE at build so the forward kernel
+    # and the recompute-in-kernel backward always run the same spline form
+    packed = (config.packed_spline_select()
+              and f"{static['spline']}_packed" in _SPLINES_TR)
+    bwd_spline = (f"{static['spline']}_packed" if packed
+                  else static["spline"])
     common = dict(
         layer_indices=tuple(indices),
         num_bins=static["num_bins"],
         num_blocks=static["num_blocks"],
-        spline=static["spline"],
+        spline=bwd_spline,
         spline_kw=spline_kw,
         lanes=lanes,
         interpret=interpret,
@@ -280,6 +288,7 @@ def nsf_train_vjp_call(indices, static, lanes, interpret):
             min_derivative=static["min_derivative"],
             spline=static["spline"], min_lambda=static["min_lambda"],
             wh_scale=1.0 / math.sqrt(H), lanes=lanes, interpret=interpret,
+            packed_select=packed,
         )
 
     def fwd(weights, x_t):
@@ -333,11 +342,14 @@ class FusedNSFTrainer:
         self.weights = weights
         self._flow_template = flow
         self.batch_size = int(batch_size)
-        self._lanes = min(1024, max(128, -(-self.batch_size // 128) * 128))
-        if self.batch_size % self._lanes:
+        if self.batch_size % 128:
             raise ValueError(
-                f"batch_size={batch_size} must be a multiple of the lane "
-                f"tile {self._lanes} (pick a multiple of 128)")
+                f"batch_size={batch_size} must be a multiple of 128 (the "
+                "kernel lane width)")
+        # lane tile: the largest multiple-of-128 divisor of batch_size that
+        # fits one grid step (<= 1024); the grid covers the rest
+        self._lanes = max(c for c in range(128, 1025, 128)
+                          if self.batch_size % c == 0)
         self._apply = nsf_train_vjp_call(
             self._indices, self._static, self._lanes, interpret)
 
@@ -364,8 +376,8 @@ class FusedNSFTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
-    def make_scan_train_step(self, optimizer, inner_steps):
-        """One dispatch = ``inner_steps`` fused train steps (lax.scan) —
+    def make_scan_train_step(self, optimizer):
+        """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
         the same scan-fused loop shape bench.py uses for the XLA path."""
         import optax
 
@@ -381,7 +393,6 @@ class FusedNSFTrainer:
                 one, (weights, opt_state), batches)
             return weights, opt_state, losses
 
-        del inner_steps  # shape comes from batches' leading dim
         return jax.jit(steps, donate_argnums=(0, 1))
 
     # -- export ------------------------------------------------------------

@@ -74,12 +74,17 @@ class CompiledFlow:
                         "for exact XLA-chain agreement; check .is_fused)",
                         type(self._fused).__name__,
                     )
-                # conditional sampling draws num_samples rows PER context
+                # conditional sampling draws num_samples rows PER context;
+                # reuse the log_prob view whenever its LANE TILE already
+                # covers the sampling rows (row counts may differ while the
+                # padded tile is identical — a second view would recompile
+                # the same megakernel for nothing)
                 sample_rows = self.num_samples * (
                     1 if self.context_features is None else self.batch_size)
+                sample_lanes = self._lane_tile(sample_rows)
                 self._fused_sampling = (
-                    self._fused if sample_rows == self.batch_size
-                    else self._fused.with_lanes(self._lane_tile(sample_rows))
+                    self._fused if sample_lanes == self._fused._lanes
+                    else self._fused.with_lanes(sample_lanes)
                 )
 
     _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap

@@ -1,0 +1,154 @@
+"""Packed-sublane spline stage (round 3) vs the unpacked round-2 form.
+
+``_rq_spline_TR_packed`` keeps the K-bin axis packed on sublanes
+([K*T, R]) and runs every structural move (group broadcast / prefix /
+shift / one-hot select) as a tiny ``kron(S, I_T)`` matmul. Both variants
+are pure jnp functions, so exact-semantics parity is pinned here on CPU;
+the Mosaic-compiled speed comparison lives in
+benchmarks/bench_fused_nsf.py --packed on real TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nflows_tpu import config
+from nflows_tpu.models import NeuralSplineFlow
+from nflows_tpu.ops.pallas.nsf_flow_kernel import (
+    _lrs_spline_TR,
+    _lrs_spline_TR_packed,
+    _rq_spline_TR,
+    _rq_spline_TR_packed,
+)
+from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+
+T, K, R = 3, 8, 128
+
+KW = dict(num_bins=K, T=T, tail_bound=3.0, min_bin_width=1e-3,
+          min_bin_height=1e-3, min_derivative=1e-3)
+LRS_KW = dict(KW, min_lambda=0.025)
+
+FAMILIES = {
+    "rq": (_rq_spline_TR, _rq_spline_TR_packed, (3 * K - 1) * T, KW),
+    "lrs": (_lrs_spline_TR, _lrs_spline_TR_packed, (4 * K - 1) * T, LRS_KW),
+}
+
+
+def _params(seed, tm, scale=1.0):
+    rng = np.random.default_rng(seed)
+    P = jnp.asarray(rng.normal(size=(tm, R)) * scale, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(T, R)) * 2.0, jnp.float32)
+    # include exact boundary / outside values on some lanes
+    x = x.at[:, 0].set(-3.0).at[:, 1].set(3.0)
+    x = x.at[:, 2].set(-5.0).at[:, 3].set(7.5)
+    return x, P
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("scale", [1.0, 3.0])
+def test_packed_matches_unpacked(family, inverse, scale):
+    unpacked, packed, tm, kw = FAMILIES[family]
+    x, P = _params(0 if not inverse else 1, tm, scale)
+    out_u, lad_u = unpacked(x, P, inverse=inverse, **kw)
+    out_p, lad_p = packed(x, P, inverse=inverse, **kw)
+    # reductions reassociate (tree max / MXU accumulation): ~ulp-level band
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_p),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_u), np.asarray(lad_p),
+                               atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_packed_round_trip(family):
+    _, packed, tm, kw = FAMILIES[family]
+    x, P = _params(2, tm)
+    y, lad_f = packed(x, P, inverse=False, **kw)
+    x_back, lad_i = packed(y, P, inverse=True, **kw)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_back), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lad_f + lad_i),
+                               np.zeros_like(lad_f), atol=2e-4)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_packed_every_sample_in_one_bin(family):
+    """The matmul one-hot must sum to exactly 1 per element (bit-consistent
+    adjacent edges) — the property the packed layout was designed around."""
+    _, packed, tm, kw = FAMILIES[family]
+    x, P = _params(3, tm)
+    # grads through the packed path must also be finite (training uses it)
+    def f(P_):
+        out, lad = packed(x, P_, inverse=False, **kw)
+        return jnp.sum(out) + jnp.sum(lad)
+
+    g = jax.grad(f)(P)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fused_training_packed_grads_match_xla():
+    """Packed-select fused training (forward AND recompute-in-kernel
+    backward run the packed spline form): loss + gradients must still
+    match the autodiff'd XLA chain to reassociation tolerance."""
+    from nflows_tpu.core.module import combine, partition
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=32, num_layers=3,
+        num_blocks_per_layer=2, num_bins=4, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(128, 6)) * 1.5,
+                    jnp.float32)
+    try:
+        config.packed_spline_select(True)
+        trainer = FusedNSFTrainer(flow, batch_size=128, interpret=True)
+        fused_loss = float(trainer.loss_fn(trainer.weights, x.T))
+        g_fused = jax.grad(trainer.loss_fn)(trainer.weights, x.T)
+    finally:
+        config._state["packed_spline_select"] = None
+
+    xla_loss_val = float(-flow.log_prob(x).mean())
+    assert abs(fused_loss - xla_loss_val) < 1e-4, (fused_loss, xla_loss_val)
+
+    def xla_loss(params, rest):
+        return -combine(params, rest).log_prob(x).mean()
+
+    params, rest = partition(flow)
+    g_params = jax.grad(xla_loss)(params, rest)
+    _, g_ref, _, _, _ = _extract(combine(g_params, rest), jnp.float32,
+                                 fold_wh_scale=False)
+    for k in ("w0", "b0", "wb", "bb", "wf", "bf"):
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_ref[k]),
+            atol=5e-4, err_msg=k)
+
+
+def test_kernel_dispatch_packed_vs_unpacked():
+    """End-to-end through the fused kernel (interpret mode): flipping the
+    config toggle changes only numerics at the reassociation level."""
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=32, num_layers=4,
+        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(64, 6)) * 2,
+                    jnp.float32)
+    try:
+        # the config is read at trace time, so finish every call on the
+        # unpacked view before flipping the toggle
+        config.packed_spline_select(False)
+        fused_u = fuse_nsf(flow, dtype=jnp.float32, lanes=64, interpret=True)
+        y_u, lad_u = fused_u.forward(x)
+        z_u, ladi_u = fused_u.inverse(x)
+        config.packed_spline_select(True)
+        fused_p = fuse_nsf(flow, dtype=jnp.float32, lanes=64, interpret=True)
+        y_p, lad_p = fused_p.forward(x)
+        z_p, ladi_p = fused_p.inverse(x)
+    finally:
+        config._state["packed_spline_select"] = None
+    np.testing.assert_allclose(np.asarray(y_u), np.asarray(y_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_u), np.asarray(lad_p),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_u), np.asarray(z_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ladi_u), np.asarray(ladi_p),
+                               atol=1e-4)
