@@ -576,9 +576,38 @@ def _rq_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
     return out, lad
 
 
+def _affine_TR(x_in, P, *, num_bins, T, inverse, scale_act):
+    """RealNVP affine / NICE additive coupling on [T, R] tensors.
+
+    ``P`` rows follow the model's own layout (transforms/coupling.py:178-181:
+    shift first, unconstrained scale second): P[:T] = shift, P[T:2T] =
+    unconstrained scale (absent for additive). ``scale_act`` selects the
+    reference's scale activation (coupling.py:152-159): "default" =
+    sigmoid(x+2)+1e-3, "general" = clip(softplus+1e-3, 0, 3), "none" =
+    additive (scale 1, logabsdet 0).
+    """
+    del num_bins
+    shift = P[:T]
+    if scale_act == "none":
+        out = x_in - shift if inverse else x_in + shift
+        return out, jnp.zeros_like(x_in)
+    raw = P[T:2 * T]
+    if scale_act == "default":
+        scale = 1.0 / (1.0 + jnp.exp(-(raw + 2.0))) + 1e-3
+    elif scale_act == "general":
+        scale = jnp.clip(jnp.logaddexp(raw, 0.0) + 1e-3, 0.0, 3.0)
+    else:
+        raise ValueError(f"unknown scale_act {scale_act!r}")
+    log_scale = jnp.log(scale)
+    if inverse:
+        return (x_in - shift) / scale, -log_scale
+    return x_in * scale + shift, log_scale
+
+
 _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
                "rq_packed": _rq_spline_TR_packed,
-               "lrs_packed": _lrs_spline_TR_packed}
+               "lrs_packed": _lrs_spline_TR_packed,
+               "affine": _affine_TR, "additive": _affine_TR}
 
 
 def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
@@ -655,14 +684,15 @@ def nsf_flow_kernel_call(
     layer_indices,                    # tuple of NSFLayerIndices (static)
     *,
     inverse: bool,
-    num_bins: int,
     num_blocks: int,
-    tail_bound: float,
-    min_bin_width: float,
-    min_bin_height: float,
-    min_derivative: float,
+    num_bins: int = 0,                # spline families only
+    tail_bound: float = None,
+    min_bin_width: float = None,
+    min_bin_height: float = None,
+    min_derivative: float = None,
     spline: str = "rq",
     min_lambda: float = None,
+    scale_act: str = None,            # affine-coupling scale activation
     lanes: int = LANES_DEFAULT,
     interpret: bool = False,
     ctx_t: jnp.ndarray = None,        # [C, N] per-sample context (optional)
@@ -712,21 +742,39 @@ def nsf_flow_kernel_call(
         wcb = jnp.zeros((1, 1), dtype=w0.dtype)
         bcb = jnp.zeros((1, 1), dtype=jnp.float32)
 
-    if spline not in ("rq", "lrs"):
-        raise ValueError("spline must be one of ['lrs', 'rq']")
-    if packed_select is None:
-        from nflows_tpu import config
-        packed_select = config.packed_spline_select()
-    if packed_select and f"{spline}_packed" in _SPLINES_TR:
-        spline = f"{spline}_packed"
-    spline_kw = dict(
-        tail_bound=tail_bound, min_bin_width=min_bin_width,
-        min_bin_height=min_bin_height, min_derivative=min_derivative,
-    )
-    if spline == "lrs":
-        if min_lambda is None:
-            raise ValueError("min_lambda is required for spline='lrs'")
-        spline_kw["min_lambda"] = min_lambda
+    if spline not in ("rq", "lrs", "affine", "additive"):
+        raise ValueError(
+            "spline must be one of ['additive', 'affine', 'lrs', 'rq']")
+    if spline in ("affine", "additive"):
+        if wh_scale is not None:
+            raise ValueError(
+                "wh_scale is a spline softmax rescale; invalid for "
+                f"spline={spline!r}")
+        if spline == "additive":
+            scale_act = "none"
+        elif scale_act not in ("default", "general"):
+            raise ValueError(
+                "spline='affine' requires scale_act 'default' or 'general'")
+        spline_kw = dict(scale_act=scale_act)
+    else:
+        if None in (tail_bound, min_bin_width, min_bin_height,
+                    min_derivative) or num_bins < 1:
+            raise ValueError(
+                f"spline={spline!r} requires num_bins/tail_bound/"
+                "min_bin_width/min_bin_height/min_derivative")
+        if packed_select is None:
+            from nflows_tpu import config
+            packed_select = config.packed_spline_select()
+        if packed_select and f"{spline}_packed" in _SPLINES_TR:
+            spline = f"{spline}_packed"
+        spline_kw = dict(
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative,
+        )
+        if spline == "lrs":
+            if min_lambda is None:
+                raise ValueError("min_lambda is required for spline='lrs'")
+            spline_kw["min_lambda"] = min_lambda
     kernel = functools.partial(
         _kernel,
         layer_indices=tuple(layer_indices),

@@ -3,13 +3,14 @@ whole-flow Pallas kernel (nsf_flow_kernel.py) and expose sample /
 log_prob / sample_and_log_prob at megakernel speed.
 
 ``fuse_nsf(flow)`` validates the model structure (L homogeneous
-[Permutation, PiecewiseRationalQuadraticCouplingTransform(ResidualNet)]
-layers, tails='linear', relu, no context/dropout/batch-norm), re-lays the
-weights out for the kernel — transposed for the samples-on-lanes layout,
-final-layer columns permuted K-major, the softmax 1/sqrt(hidden) scale
-folded in (reference coupling.py:554-563) — and returns a
-:class:`FusedNSF` whose methods run the whole transform chain as ONE
-``pallas_call``.
+[Permutation?, coupling(ResidualNet)] layers — RQ/LRS spline couplings
+with tails='linear', or affine/additive (RealNVP/NICE) couplings whose
+alternating masks need no interleaved permutations — relu, no
+dropout/batch-norm), re-lays the weights out for the kernel — transposed
+for the samples-on-lanes layout, final-layer columns permuted K-major,
+the softmax 1/sqrt(hidden) scale folded in (reference
+coupling.py:554-563) — and returns a :class:`FusedNSF` whose methods run
+the whole transform chain as ONE ``pallas_call``.
 
 This is an inference object: no gradients flow through it (training uses
 the autodiff'd XLA chain; this exists to win the sampling/eval
@@ -52,25 +53,48 @@ class NSFLayerIndices(NamedTuple):
 
 
 def _layer_groups(transform):
-    """Yield (permutation, coupling) pairs from the flow's transform."""
+    """Yield (permutation-or-None, coupling) pairs from the flow's
+    transform. A coupling with no preceding Permutation (RealNVP's
+    alternating-mask style, flows/realnvp.py) gets ``None`` — extraction
+    treats it as the identity permutation."""
     from nflows_tpu.transforms.base import CompositeTransform
+    from nflows_tpu.transforms.coupling import CouplingTransform
+    from nflows_tpu.transforms.permutations import Permutation
     from nflows_tpu.transforms.stacked import StackedTransform
 
     if isinstance(transform, StackedTransform):
-        groups = transform.layers()
+        groups = [
+            tuple(g.transforms) if isinstance(g, CompositeTransform) else (g,)
+            for g in transform.layers()
+        ]
     elif isinstance(transform, CompositeTransform):
-        ts = transform.transforms
-        if len(ts) % 2:
-            raise ValueError("expected [permutation, coupling] pairs")
-        groups = [CompositeTransform(ts[i:i + 2]) for i in range(0, len(ts), 2)]
+        groups = []
+        ts = list(transform.transforms)
+        i = 0
+        while i < len(ts):
+            t = ts[i]
+            if isinstance(t, Permutation):
+                if i + 1 >= len(ts):
+                    raise ValueError("trailing permutation with no coupling")
+                groups.append((t, ts[i + 1]))
+                i += 2
+            elif isinstance(t, CouplingTransform):
+                groups.append((t,))
+                i += 1
+            else:
+                raise ValueError(
+                    f"unsupported transform in chain: {type(t).__name__}")
     else:
         raise ValueError(f"unsupported transform type {type(transform).__name__}")
 
     pairs = []
     for g in groups:
-        if len(g.transforms) != 2:
-            raise ValueError("each layer must be [permutation, coupling]")
-        pairs.append((g.transforms[0], g.transforms[1]))
+        if len(g) == 2:
+            pairs.append((g[0], g[1]))
+        elif len(g) == 1:
+            pairs.append((None, g[0]))
+        else:
+            raise ValueError("each layer must be [permutation?, coupling]")
     return pairs
 
 
@@ -94,10 +118,18 @@ def _extract(flow, dtype, fold_wh_scale=True):
     from nflows_tpu.distributions.normal import StandardNormal
     from nflows_tpu.nn.nets.resnet import ResidualNet
     from nflows_tpu.transforms.coupling import (
+        AdditiveCouplingTransform,
+        AffineCouplingTransform,
         PiecewiseLinearRationalCouplingTransform,
         PiecewiseRationalQuadraticCouplingTransform,
+        _default_scale_activation,
+        _general_scale_activation,
     )
     from nflows_tpu.transforms.permutations import Permutation
+
+    fusable = (PiecewiseRationalQuadraticCouplingTransform,
+               PiecewiseLinearRationalCouplingTransform,
+               AffineCouplingTransform)  # Additive subclasses Affine
 
     if not isinstance(flow.distribution, StandardNormal):
         raise ValueError("fused path requires a StandardNormal base")
@@ -108,11 +140,11 @@ def _extract(flow, dtype, fold_wh_scale=True):
     if not pre:
         raise ValueError("empty transform chain")
     for perm, cpl in pre:
-        if not isinstance(perm, Permutation):
+        if perm is not None and not isinstance(perm, Permutation):
             raise ValueError("layer must start with a feature Permutation")
-        if not isinstance(cpl, (PiecewiseRationalQuadraticCouplingTransform,
-                                PiecewiseLinearRationalCouplingTransform)):
-            raise ValueError("only RQ/LRS-spline couplings are fused")
+        if not isinstance(cpl, fusable):
+            raise ValueError(
+                "only RQ/LRS-spline and affine/additive couplings are fused")
     # ONE pipelined device->host transfer up front: extraction reads ~7
     # arrays per layer, and per-leaf np.asarray round-trips are ruinously
     # slow through a remote-TPU tunnel (minutes for a 10-layer flow)
@@ -124,15 +156,30 @@ def _extract(flow, dtype, fold_wh_scale=True):
     wc0s, wcbs, bcbs = [], [], []
     ref_cfg = None
     for perm, cpl in pairs:
-        if not isinstance(perm, Permutation) or perm.dim != 1:
+        if perm is not None and (not isinstance(perm, Permutation)
+                                 or perm.dim != 1):
             raise ValueError("layer must start with a feature Permutation")
+        scale_act = None
         if isinstance(cpl, PiecewiseRationalQuadraticCouplingTransform):
             spline = "rq"
         elif isinstance(cpl, PiecewiseLinearRationalCouplingTransform):
             spline = "lrs"
+        elif isinstance(cpl, AdditiveCouplingTransform):
+            spline = "additive"
+            scale_act = "none"
+        elif isinstance(cpl, AffineCouplingTransform):
+            spline = "affine"
+            if cpl.scale_activation is _default_scale_activation:
+                scale_act = "default"
+            elif cpl.scale_activation is _general_scale_activation:
+                scale_act = "general"
+            else:
+                raise ValueError(
+                    "only the DEFAULT/GENERAL scale activations are fused")
         else:
-            raise ValueError("only RQ/LRS-spline couplings are fused")
-        if cpl.tails != "linear":
+            raise ValueError(
+                "only RQ/LRS-spline and affine/additive couplings are fused")
+        if spline in ("rq", "lrs") and cpl.tails != "linear":
             raise ValueError("fused path requires tails='linear'")
         if cpl.unconditional_transform is not None:
             raise ValueError("unconditional_transform not supported")
@@ -145,21 +192,27 @@ def _extract(flow, dtype, fold_wh_scale=True):
             if blk.activation is not jax.nn.relu:
                 raise ValueError("fused conditioner requires relu activation")
 
-        K = cpl.num_bins
         T = cpl.num_transform_features
-        M = (3 * K - 1) if spline == "rq" else (4 * K - 1)
         H = net.hidden_features
-        cfg = (spline, K, T, cpl.num_identity_features, H, len(net.blocks),
-               cpl.tail_bound, cpl.min_bin_width, cpl.min_bin_height,
-               cpl.min_derivative,
-               getattr(cpl, "min_lambda", None),
-               net.context_features)
+        if spline in ("affine", "additive"):
+            K = 0
+            M = 2 if spline == "affine" else 1
+            spline_cfg = (None, None, None, None, None)
+        else:
+            K = cpl.num_bins
+            M = (3 * K - 1) if spline == "rq" else (4 * K - 1)
+            spline_cfg = (cpl.tail_bound, cpl.min_bin_width,
+                          cpl.min_bin_height, cpl.min_derivative,
+                          getattr(cpl, "min_lambda", None))
+        cfg = (spline, scale_act, K, T, cpl.num_identity_features, H,
+               len(net.blocks)) + spline_cfg + (net.context_features,)
         if ref_cfg is None:
             ref_cfg = cfg
         elif cfg != ref_cfg:
             raise ValueError("layers must be homogeneous to fuse")
 
-        p = np.asarray(perm.permutation)
+        p = (np.arange(cpl.features) if perm is None
+             else np.asarray(perm.permutation))
         id_idx = np.asarray(cpl.identity_features)
         tr_idx = np.asarray(cpl.transform_features)
         merge_fwd = np.argsort(np.concatenate([id_idx, tr_idx]))
@@ -204,10 +257,15 @@ def _extract(flow, dtype, fold_wh_scale=True):
         # are unscaled, like the RQ derivatives)
         wf = np.asarray(net.final_layer.weight)               # [H, T*M]
         bf = np.asarray(net.final_layer.bias)                 # [T*M]
-        order = np.array([t * M + j for j in range(M) for t in range(T)])
+        if spline in ("affine", "additive"):
+            # affine params are already param-major ([shift(T) ‖ scale(T)],
+            # coupling.py:178-181) and have no softmax rescale
+            order = np.arange(T * M)
+        else:
+            order = np.array([t * M + j for j in range(M) for t in range(T)])
         wf = wf[:, order]
         bf = bf[order]
-        if fold_wh_scale:
+        if fold_wh_scale and K:
             scale = np.ones(T * M, dtype=wf.dtype)
             scale[: 2 * K * T] = 1.0 / np.sqrt(H)             # widths+heights
             wf = wf * scale[None, :]
@@ -215,8 +273,8 @@ def _extract(flow, dtype, fold_wh_scale=True):
         wfs.append(wf.T)                                      # [TM, H]
         bfs.append(bf[:, None])
 
-    (spline, K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md, ml,
-     context_features) = ref_cfg
+    (spline, scale_act, K, T, Tid, H, num_blocks, tail_bound, mbw, mbh, md,
+     ml, context_features) = ref_cfg
     weights = dict(
         w0=jnp.asarray(np.stack(w0s), dtype=dtype),
         b0=jnp.asarray(np.stack(b0s), dtype=jnp.float32),
@@ -231,12 +289,16 @@ def _extract(flow, dtype, fold_wh_scale=True):
             wcb=jnp.asarray(np.stack(wcbs), dtype=dtype),
             bcb=jnp.asarray(np.stack(bcbs), dtype=jnp.float32),
         )
-    static = dict(
-        num_bins=K, num_blocks=num_blocks, tail_bound=float(tail_bound),
-        min_bin_width=float(mbw), min_bin_height=float(mbh),
-        min_derivative=float(md), spline=spline,
-        min_lambda=None if ml is None else float(ml),
-    )
+    if spline in ("affine", "additive"):
+        static = dict(num_blocks=num_blocks, spline=spline,
+                      scale_act=scale_act)
+    else:
+        static = dict(
+            num_bins=K, num_blocks=num_blocks, tail_bound=float(tail_bound),
+            min_bin_width=float(mbw), min_bin_height=float(mbh),
+            min_derivative=float(md), spline=spline,
+            min_lambda=None if ml is None else float(ml),
+        )
     features = Tid + T
     return layer_indices, weights, static, features, context_features
 

@@ -339,6 +339,10 @@ class FusedNSFTrainer:
             raise ValueError(
                 "fused training is context-free in this version; train "
                 "conditional flows on the XLA chain")
+        if self._static["spline"] not in ("rq", "lrs"):
+            raise ValueError(
+                "fused training covers the spline families (rq/lrs); "
+                "affine/additive flows train on the XLA chain")
         self.weights = weights
         self._flow_template = flow
         self.batch_size = int(batch_size)

@@ -156,12 +156,15 @@ def test_compiled_flow_fused_maf_and_fallbacks():
     np.testing.assert_allclose(np.asarray(lp_xla),
                                np.asarray(served.log_prob(x)), atol=1e-4)
 
-    # non-qualifying flow: auto mode must fall back silently, explicit
-    # use_fused=True must raise a clear error
+    # non-qualifying flow (tanh conditioner — the fused ResidualNet is
+    # relu-only): auto mode must fall back silently, explicit
+    # use_fused=True must raise a clear error. (SimpleRealNVP itself
+    # fuses since round 3 — tests/ops/test_realnvp_fused.py.)
     import pytest
     from nflows_tpu.flows import SimpleRealNVP
     nvp = SimpleRealNVP(features=4, hidden_features=16, num_layers=2,
-                        num_blocks_per_layer=1, key=jax.random.key(1))
+                        num_blocks_per_layer=1, key=jax.random.key(1),
+                        activation=jnp.tanh)
     assert CompiledFlow(nvp, batch_size=8, features=4)._fused is None
     with pytest.raises(ValueError):
         CompiledFlow(nvp, batch_size=8, features=4, use_fused=True)
