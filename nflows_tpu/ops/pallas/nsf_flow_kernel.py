@@ -47,6 +47,7 @@ kernel exists to win sampling/evaluation throughput.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -385,6 +386,291 @@ def _fold_max(t, n, T):
     return t
 
 
+def _linear_TR(x_in, P, *, num_bins, T, inverse, tail_bound):
+    """Unconstrained (linear-tail) piecewise-LINEAR spline on [T, R]
+    tensors (Müller et al. 2018). ``P`` is [K*T, R], K-major: row group j
+    holds unnormalized-pdf param j. Math mirrors
+    ops/splines/linear.py:22-81 on the unit domain with the [-B, B]
+    rescale of the unconstrained wrapper (linear.py:84-111); reference
+    semantics nflows/transforms/splines/linear.py:38-105.
+    """
+    K = num_bins
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    u = (jnp.clip(x_orig, -B, B) + B) / (2.0 * B)
+
+    def slice_j(j):
+        return P[j * T:(j + 1) * T]
+
+    vals = [slice_j(j) for j in range(K)]
+    vmax = vals[0]
+    for v in vals[1:]:
+        vmax = jnp.maximum(vmax, v)
+    exps = [jnp.exp(v - vmax) for v in vals]
+    total = exps[0]
+    for e in exps[1:]:
+        total = total + e
+    inv_total = 1.0 / total
+    pdf = [e * inv_total for e in exps]
+
+    # cdf[0..K], last forced to exactly 1 (linear.py:45-47)
+    cdf = [jnp.zeros_like(u)]
+    run = jnp.zeros_like(u)
+    for k in range(K):
+        run = run + pdf[k]
+        cdf.append(run)
+    cdf[-1] = jnp.ones_like(u)
+
+    if inverse:
+        idx = jnp.zeros_like(u, dtype=jnp.int32)
+        for k in range(1, K):
+            idx = idx + (u >= cdf[k]).astype(jnp.int32)
+        # equal-width bins: slope_k = (cdf[k+1]-cdf[k])*K,
+        # offset_k = cdf[k+1] - slope_k*(k+1)/K  (linear.py:52-56)
+        sel_slope = (cdf[1] - cdf[0]) * K
+        sel_off = cdf[1] - sel_slope * (1.0 / K)
+        for k in range(1, K):
+            m = idx == k
+            slope_k = (cdf[k + 1] - cdf[k]) * K
+            off_k = cdf[k + 1] - slope_k * ((k + 1.0) / K)
+            sel_slope = jnp.where(m, slope_k, sel_slope)
+            sel_off = jnp.where(m, off_k, sel_off)
+        out_u = jnp.clip((u - sel_off) / sel_slope, 0.0, 1.0)
+        lad = -jnp.log(sel_slope)
+    else:
+        bin_pos = u * K
+        idx_f = jnp.clip(jnp.floor(bin_pos), 0.0, K - 1.0)
+        alpha = bin_pos - idx_f
+        idx = idx_f.astype(jnp.int32)
+        sel_pdf, sel_cdf = pdf[0], cdf[0]
+        for k in range(1, K):
+            m = idx == k
+            sel_pdf = jnp.where(m, pdf[k], sel_pdf)
+            sel_cdf = jnp.where(m, cdf[k], sel_cdf)
+        out_u = jnp.clip(sel_cdf + alpha * sel_pdf, 0.0, 1.0)
+        lad = jnp.log(sel_pdf) + math.log(K)
+
+    out = out_u * (2.0 * B) - B
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+def _quadratic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
+                  min_bin_width, min_bin_height):
+    """Unconstrained (linear-tail) piecewise-QUADRATIC spline on [T, R]
+    tensors (Müller et al. 2018). ``P`` is [(2K-1)*T, R], K-major: widths
+    j<K, then the K-1 interior knot-height params (the linear-tails
+    variant — boundary heights are solved so the normalized pdf is
+    exactly 1 at both ends). Math mirrors ops/splines/quadratic.py:28-139;
+    reference nflows/transforms/splines/quadratic.py:55-159.
+    """
+    K = num_bins
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    u = (jnp.clip(x_orig, -B, B) + B) / (2.0 * B)
+
+    def slice_j(j):
+        return P[j * T:(j + 1) * T]
+
+    def normalize(vals, min_size):
+        vmax = vals[0]
+        for v in vals[1:]:
+            vmax = jnp.maximum(vmax, v)
+        exps = [jnp.exp(v - vmax) for v in vals]
+        total = exps[0]
+        for e in exps[1:]:
+            total = total + e
+        inv_total = 1.0 / total
+        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+
+    w = normalize([slice_j(j) for j in range(K)], min_bin_width)
+
+    h_int = [jnp.logaddexp(slice_j(K + j), 0.0) + 1e-3 for j in range(K - 1)]
+    # boundary heights that normalize the trapezoid pdf to exactly 1
+    # (quadratic.py:63-80)
+    first_w = 0.5 * w[0]
+    last_w = 0.5 * w[K - 1]
+    numerator = 0.5 * first_w * h_int[0] + 0.5 * last_w * h_int[K - 2]
+    for i in range(K - 2):
+        numerator = numerator + 0.5 * (h_int[i] + h_int[i + 1]) * w[i + 1]
+    constant = numerator / (1.0 - 0.5 * first_w - 0.5 * last_w)
+    he = [constant] + h_int + [constant]            # K+1 knot heights
+
+    area = 0.5 * (he[0] + he[1]) * w[0]
+    for k in range(1, K):
+        area = area + 0.5 * (he[k] + he[k + 1]) * w[k]
+    inv_area = 1.0 / area
+    hts = [min_bin_height + (1.0 - min_bin_height) * h * inv_area for h in he]
+
+    # bin-left cdf / locations, last forced to 1 (quadratic.py:89-97)
+    cdf = [jnp.zeros_like(u)]
+    run = jnp.zeros_like(u)
+    for k in range(K):
+        run = run + 0.5 * (hts[k] + hts[k + 1]) * w[k]
+        cdf.append(run)
+    cdf[-1] = jnp.ones_like(u)
+    loc = [jnp.zeros_like(u)]
+    run = jnp.zeros_like(u)
+    for k in range(K):
+        run = run + w[k]
+        loc.append(run)
+    loc[-1] = jnp.ones_like(u)
+
+    search = cdf if inverse else loc
+    idx = jnp.zeros_like(u, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + (u >= search[k]).astype(jnp.int32)
+
+    sel_loc, sel_w, sel_cdf = loc[0], w[0], cdf[0]
+    sel_hl, sel_hr = hts[0], hts[1]
+    for k in range(1, K):
+        m = idx == k
+        sel_loc = jnp.where(m, loc[k], sel_loc)
+        sel_w = jnp.where(m, w[k], sel_w)
+        sel_cdf = jnp.where(m, cdf[k], sel_cdf)
+        sel_hl = jnp.where(m, hts[k], sel_hl)
+        sel_hr = jnp.where(m, hts[k + 1], sel_hr)
+
+    a = 0.5 * (sel_hr - sel_hl) * sel_w
+    b = sel_hl * sel_w
+    c = sel_cdf
+
+    if inverse:
+        c_ = c - u
+        disc = jnp.maximum(b * b - 4.0 * a * c_, 0.0)
+        alpha = (-2.0 * c_) / (b + jnp.sqrt(disc))
+        out_u = jnp.clip(alpha * sel_w + sel_loc, 0.0, 1.0)
+        lad = -jnp.log(alpha * (sel_hr - sel_hl) + sel_hl)
+    else:
+        alpha = (u - sel_loc) / sel_w
+        out_u = jnp.clip(a * alpha * alpha + b * alpha + c, 0.0, 1.0)
+        lad = jnp.log(alpha * (sel_hr - sel_hl) + sel_hl)
+
+    out = out_u * (2.0 * B) - B
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+def _cubic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
+              min_bin_width, min_bin_height):
+    """Unconstrained (linear-tail) monotone CUBIC (Steffen) spline on
+    [T, R] tensors. ``P`` is [(2K+2)*T, R], K-major: widths j<K, heights
+    K<=j<2K, then one row group each for the left/right boundary
+    derivative params. Math mirrors ops/splines/cubic.py:39-183 incl. the
+    bisection+Newton inverse (the reference's Blinn closed forms NaN at
+    fp32 — MIGRATION.md #7); reference semantics
+    nflows/transforms/splines/cubic.py:63-267. The 30 bisection halvings
+    unroll at trace time (no loop-carried refs — Mosaic-safe).
+    """
+    K = num_bins
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    u = (jnp.clip(x_orig, -B, B) + B) / (2.0 * B)
+
+    def slice_j(j):
+        return P[j * T:(j + 1) * T]
+
+    def normalize(vals, min_size):
+        vmax = vals[0]
+        for v in vals[1:]:
+            vmax = jnp.maximum(vmax, v)
+        exps = [jnp.exp(v - vmax) for v in vals]
+        total = exps[0]
+        for e in exps[1:]:
+            total = total + e
+        inv_total = 1.0 / total
+        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+
+    w = normalize([slice_j(j) for j in range(K)], min_bin_width)
+    h = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
+
+    def edges_of(bins):
+        edges = [jnp.zeros_like(u)]
+        run = jnp.zeros_like(u)
+        for k in range(K):
+            run = run + bins[k]
+            edges.append(run)
+        edges[-1] = jnp.ones_like(u)
+        return edges
+
+    cumw = edges_of(w)
+    cumh = edges_of(h)
+
+    # Steffen monotone interior derivatives (cubic.py:85-103)
+    slopes = [h[k] / w[k] for k in range(K)]
+    derivs = [None] * (K + 1)
+    sig0 = 1.0 / (1.0 + jnp.exp(-slice_j(2 * K)))
+    sig1 = 1.0 / (1.0 + jnp.exp(-slice_j(2 * K + 1)))
+    derivs[0] = sig0 * 3.0 * slopes[0]
+    derivs[K] = sig1 * 3.0 * slopes[K - 1]
+    for k in range(1, K):
+        m1 = jnp.minimum(jnp.abs(slopes[k - 1]), jnp.abs(slopes[k]))
+        m2 = 0.5 * (w[k] * slopes[k - 1] + w[k - 1] * slopes[k]) / (
+            w[k - 1] + w[k])
+        derivs[k] = jnp.minimum(m1, m2) * (
+            jnp.sign(slopes[k - 1]) + jnp.sign(slopes[k]))
+
+    # per-bin cubic y = a t^3 + b t^2 + c t + d (cubic.py:106-110)
+    search = cumh if inverse else cumw
+    idx = jnp.zeros_like(u, dtype=jnp.int32)
+    for k in range(1, K):
+        idx = idx + (u >= search[k]).astype(jnp.int32)
+
+    def coeffs(k):
+        a = (derivs[k] + derivs[k + 1] - 2.0 * slopes[k]) / (w[k] * w[k])
+        b = (3.0 * slopes[k] - 2.0 * derivs[k] - derivs[k + 1]) / w[k]
+        return a, b, derivs[k], cumh[k]
+
+    sel_a, sel_b, sel_c, sel_d = coeffs(0)
+    sel_lw, sel_w = cumw[0], w[0]
+    for k in range(1, K):
+        m = idx == k
+        a_k, b_k, c_k, d_k = coeffs(k)
+        sel_a = jnp.where(m, a_k, sel_a)
+        sel_b = jnp.where(m, b_k, sel_b)
+        sel_c = jnp.where(m, c_k, sel_c)
+        sel_d = jnp.where(m, d_k, sel_d)
+        sel_lw = jnp.where(m, cumw[k], sel_lw)
+        sel_w = jnp.where(m, w[k], sel_w)
+
+    if inverse:
+        # branchless bisection (30 unrolled halvings) + one Newton step
+        # (cubic.py:125-168); inference-only kernel, so the Newton
+        # gradient re-attachment is kept for value stability only
+        lo = jnp.zeros_like(u)
+        hi = sel_w
+        for _ in range(30):
+            mid = 0.5 * (lo + hi)
+            fmid = (((sel_a * mid + sel_b) * mid + sel_c) * mid
+                    + sel_d - u)
+            go_right = fmid < 0.0
+            lo = jnp.where(go_right, mid, lo)
+            hi = jnp.where(go_right, hi, mid)
+        t_star = 0.5 * (lo + hi)
+        deriv = 3.0 * sel_a * t_star * t_star + 2.0 * sel_b * t_star + sel_c
+        f_val = (((sel_a * t_star + sel_b) * t_star + sel_c) * t_star
+                 + sel_d - u)
+        shifted = t_star - f_val / deriv
+        out_u = jnp.clip(shifted + sel_lw, 0.0, 1.0)
+        lad = -jnp.log(
+            3.0 * sel_a * shifted * shifted + 2.0 * sel_b * shifted + sel_c)
+    else:
+        t = u - sel_lw
+        out_u = jnp.clip(
+            ((sel_a * t + sel_b) * t + sel_c) * t + sel_d, 0.0, 1.0)
+        lad = jnp.log(3.0 * sel_a * t * t + 2.0 * sel_b * t + sel_c)
+
+    out = out_u * (2.0 * B) - B
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
 def _packed_select(x, P, *, K, T, inverse, B, min_bin_width,
                    min_bin_height, min_derivative, deriv_offset):
     """Shared packed-sublane spline front half: softmax-normalize widths/
@@ -607,7 +893,9 @@ def _affine_TR(x_in, P, *, num_bins, T, inverse, scale_act):
 _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
                "rq_packed": _rq_spline_TR_packed,
                "lrs_packed": _lrs_spline_TR_packed,
-               "affine": _affine_TR, "additive": _affine_TR}
+               "affine": _affine_TR, "additive": _affine_TR,
+               "linear": _linear_TR, "quadratic": _quadratic_TR,
+               "cubic": _cubic_TR}
 
 
 def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
@@ -742,9 +1030,10 @@ def nsf_flow_kernel_call(
         wcb = jnp.zeros((1, 1), dtype=w0.dtype)
         bcb = jnp.zeros((1, 1), dtype=jnp.float32)
 
-    if spline not in ("rq", "lrs", "affine", "additive"):
-        raise ValueError(
-            "spline must be one of ['additive', 'affine', 'lrs', 'rq']")
+    families = ("rq", "lrs", "linear", "quadratic", "cubic",
+                "affine", "additive")
+    if spline not in families:
+        raise ValueError(f"spline must be one of {sorted(families)}")
     if spline in ("affine", "additive"):
         if wh_scale is not None:
             raise ValueError(
@@ -756,6 +1045,19 @@ def nsf_flow_kernel_call(
             raise ValueError(
                 "spline='affine' requires scale_act 'default' or 'general'")
         spline_kw = dict(scale_act=scale_act)
+    elif spline == "linear":
+        if tail_bound is None or num_bins < 1:
+            raise ValueError("spline='linear' requires num_bins/tail_bound")
+        spline_kw = dict(tail_bound=tail_bound)
+    elif spline in ("quadratic", "cubic"):
+        if None in (tail_bound, min_bin_width, min_bin_height) \
+                or num_bins < 2:
+            raise ValueError(
+                f"spline={spline!r} requires num_bins/tail_bound/"
+                "min_bin_width/min_bin_height")
+        spline_kw = dict(tail_bound=tail_bound,
+                         min_bin_width=min_bin_width,
+                         min_bin_height=min_bin_height)
     else:
         if None in (tail_bound, min_bin_width, min_bin_height,
                     min_derivative) or num_bins < 1:

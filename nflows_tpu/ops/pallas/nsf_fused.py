@@ -3,8 +3,9 @@ whole-flow Pallas kernel (nsf_flow_kernel.py) and expose sample /
 log_prob / sample_and_log_prob at megakernel speed.
 
 ``fuse_nsf(flow)`` validates the model structure (L homogeneous
-[Permutation?, coupling(ResidualNet)] layers — RQ/LRS spline couplings
-with tails='linear', or affine/additive (RealNVP/NICE) couplings whose
+[Permutation?, coupling(ResidualNet)] layers — any spline coupling
+family (RQ/LRS/linear/quadratic/cubic) with tails='linear', or
+affine/additive (RealNVP/NICE) couplings whose
 alternating masks need no interleaved permutations — relu, no
 dropout/batch-norm), re-lays the weights out for the kernel — transposed
 for the samples-on-lanes layout, final-layer columns permuted K-major,
@@ -120,7 +121,10 @@ def _extract(flow, dtype, fold_wh_scale=True):
     from nflows_tpu.transforms.coupling import (
         AdditiveCouplingTransform,
         AffineCouplingTransform,
+        PiecewiseCubicCouplingTransform,
+        PiecewiseLinearCouplingTransform,
         PiecewiseLinearRationalCouplingTransform,
+        PiecewiseQuadraticCouplingTransform,
         PiecewiseRationalQuadraticCouplingTransform,
         _default_scale_activation,
         _general_scale_activation,
@@ -129,6 +133,9 @@ def _extract(flow, dtype, fold_wh_scale=True):
 
     fusable = (PiecewiseRationalQuadraticCouplingTransform,
                PiecewiseLinearRationalCouplingTransform,
+               PiecewiseLinearCouplingTransform,
+               PiecewiseQuadraticCouplingTransform,
+               PiecewiseCubicCouplingTransform,
                AffineCouplingTransform)  # Additive subclasses Affine
 
     if not isinstance(flow.distribution, StandardNormal):
@@ -144,7 +151,8 @@ def _extract(flow, dtype, fold_wh_scale=True):
             raise ValueError("layer must start with a feature Permutation")
         if not isinstance(cpl, fusable):
             raise ValueError(
-                "only RQ/LRS-spline and affine/additive couplings are fused")
+                "only spline (rq/lrs/linear/quadratic/cubic) and "
+                "affine/additive couplings are fused")
     # ONE pipelined device->host transfer up front: extraction reads ~7
     # arrays per layer, and per-leaf np.asarray round-trips are ruinously
     # slow through a remote-TPU tunnel (minutes for a 10-layer flow)
@@ -164,6 +172,12 @@ def _extract(flow, dtype, fold_wh_scale=True):
             spline = "rq"
         elif isinstance(cpl, PiecewiseLinearRationalCouplingTransform):
             spline = "lrs"
+        elif isinstance(cpl, PiecewiseLinearCouplingTransform):
+            spline = "linear"
+        elif isinstance(cpl, PiecewiseQuadraticCouplingTransform):
+            spline = "quadratic"
+        elif isinstance(cpl, PiecewiseCubicCouplingTransform):
+            spline = "cubic"
         elif isinstance(cpl, AdditiveCouplingTransform):
             spline = "additive"
             scale_act = "none"
@@ -178,8 +192,9 @@ def _extract(flow, dtype, fold_wh_scale=True):
                     "only the DEFAULT/GENERAL scale activations are fused")
         else:
             raise ValueError(
-                "only RQ/LRS-spline and affine/additive couplings are fused")
-        if spline in ("rq", "lrs") and cpl.tails != "linear":
+                "only spline (rq/lrs/linear/quadratic/cubic) and "
+                "affine/additive couplings are fused")
+        if spline not in ("affine", "additive") and cpl.tails != "linear":
             raise ValueError("fused path requires tails='linear'")
         if cpl.unconditional_transform is not None:
             raise ValueError("unconditional_transform not supported")
@@ -198,6 +213,15 @@ def _extract(flow, dtype, fold_wh_scale=True):
             K = 0
             M = 2 if spline == "affine" else 1
             spline_cfg = (None, None, None, None, None)
+        elif spline == "linear":
+            K = cpl.num_bins
+            M = K
+            spline_cfg = (cpl.tail_bound, None, None, None, None)
+        elif spline in ("quadratic", "cubic"):
+            K = cpl.num_bins
+            M = (2 * K - 1) if spline == "quadratic" else (2 * K + 2)
+            spline_cfg = (cpl.tail_bound, cpl.min_bin_width,
+                          cpl.min_bin_height, None, None)
         else:
             K = cpl.num_bins
             M = (3 * K - 1) if spline == "rq" else (4 * K - 1)
@@ -265,9 +289,15 @@ def _extract(flow, dtype, fold_wh_scale=True):
             order = np.array([t * M + j for j in range(M) for t in range(T)])
         wf = wf[:, order]
         bf = bf[order]
-        if fold_wh_scale and K:
+        # per-family softmax 1/sqrt(H) rescale prefix (K-major rows):
+        # rq/lrs/cubic rescale widths+heights only; quadratic rescales ALL
+        # its params (its _softmax_rescale covers both groups,
+        # coupling.py:332-334); linear rescales nothing
+        n_scaled = {"rq": 2 * K * T, "lrs": 2 * K * T, "cubic": 2 * K * T,
+                    "quadratic": T * M}.get(spline, 0)
+        if fold_wh_scale and n_scaled:
             scale = np.ones(T * M, dtype=wf.dtype)
-            scale[: 2 * K * T] = 1.0 / np.sqrt(H)             # widths+heights
+            scale[:n_scaled] = 1.0 / np.sqrt(H)
             wf = wf * scale[None, :]
             bf = bf * scale
         wfs.append(wf.T)                                      # [TM, H]
@@ -292,6 +322,13 @@ def _extract(flow, dtype, fold_wh_scale=True):
     if spline in ("affine", "additive"):
         static = dict(num_blocks=num_blocks, spline=spline,
                       scale_act=scale_act)
+    elif spline == "linear":
+        static = dict(num_bins=K, num_blocks=num_blocks, spline=spline,
+                      tail_bound=float(tail_bound))
+    elif spline in ("quadratic", "cubic"):
+        static = dict(num_bins=K, num_blocks=num_blocks, spline=spline,
+                      tail_bound=float(tail_bound),
+                      min_bin_width=float(mbw), min_bin_height=float(mbh))
     else:
         static = dict(
             num_bins=K, num_blocks=num_blocks, tail_bound=float(tail_bound),
@@ -304,8 +341,8 @@ def _extract(flow, dtype, fold_wh_scale=True):
 
 
 class FusedNSF:
-    """Megakernel-backed inference view of a tabular NSF flow (RQ or
-    linear-rational spline family).
+    """Megakernel-backed inference view of a tabular coupling flow (any
+    spline family — RQ/LRS/linear/quadratic/cubic — or affine/additive).
 
     ``forward``/``inverse`` have the Transform contract; ``log_prob``,
     ``sample`` and ``sample_and_log_prob`` the Distribution contract.
