@@ -354,6 +354,7 @@ class FusedNSFTrainer:
         # fits one grid step (<= 1024); the grid covers the rest
         self._lanes = max(c for c in range(128, 1025, 128)
                           if self.batch_size % c == 0)
+        self._interpret = interpret
         self._apply = nsf_train_vjp_call(
             self._indices, self._static, self._lanes, interpret)
 
@@ -379,6 +380,72 @@ class FusedNSFTrainer:
             return optax.apply_updates(weights, updates), opt_state, loss
 
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def make_dp_train_step(self, optimizer, mesh, data_axis="data",
+                           donate=True):
+        """Data-parallel fused training over a ``jax.sharding.Mesh``: each
+        device runs the forward+backward megakernels on its batch shard
+        (``shard_map``), gradients and loss are ``pmean``'d over ICI, and
+        the (replicated) optimizer update is applied identically
+        everywhere — the fused-trainer analogue of
+        ``parallel.train.make_sharded_train_step``. ``batch`` is the
+        GLOBAL [N, D] batch, sharded on its leading axis; weights and
+        opt_state are replicated. Per-device batch must be a multiple of
+        the 128-lane kernel tile.
+        """
+        import optax
+        from jax.sharding import PartitionSpec
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        n = mesh.shape[data_axis]
+        per_dev = self.batch_size // n
+        if self.batch_size % n or per_dev % 128:
+            raise ValueError(
+                f"global batch {self.batch_size} over {n} '{data_axis}' "
+                "devices must give a per-device batch that is a multiple "
+                "of 128")
+        lanes = max(c for c in range(128, 1025, 128) if per_dev % c == 0)
+        apply_local = nsf_train_vjp_call(
+            self._indices, self._static, lanes, self._interpret)
+        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
+
+        def local_loss(weights, batch_t):
+            y_t, lad = apply_local(weights, batch_t)
+            lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
+            return -jnp.mean(lp)
+
+        def shard_step(weights, opt_state, batch):
+            loss, grads = jax.value_and_grad(local_loss)(
+                weights, batch.T)
+            # equal shards: global mean = pmean of per-shard means
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        P = PartitionSpec
+        # pallas_call does not carry the varying-across-mesh (vma) type
+        # shard_map's replication checker needs, so disable the check —
+        # replication is real here (pmean'd grads, identical updates) and
+        # pinned by tests/parallel/test_fused_dp.py
+        try:
+            sharded = shard_map(
+                shard_step, mesh=mesh,
+                in_specs=(P(), P(), P(data_axis)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        except TypeError:  # older jax spells it check_rep
+            sharded = shard_map(
+                shard_step, mesh=mesh,
+                in_specs=(P(), P(), P(data_axis)),
+                out_specs=(P(), P(), P()),
+                check_rep=False,
+            )
+        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
     def make_scan_train_step(self, optimizer):
         """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
