@@ -269,7 +269,35 @@ def from_torch(ours, ref):
     T = _transforms()
     if isinstance(ours, (T.CompositeTransform, T.MultiscaleCompositeTransform)):
         if len(ours.transforms) != len(ref._transforms):
-            raise ValueError("composite transform length mismatch")
+            # scan-stacked sub-chains (e.g. GlowFlow(stacked=True) levels:
+            # [squeeze, StackedTransform-of-steps]) compress k consecutive
+            # reference transforms into ONE StackedTransform member —
+            # align by flat length and hand each stack its k refs via a
+            # synthetic composite
+            import types as _types
+            from nflows_tpu.transforms.stacked import (
+                StackedTransform as _ST,
+            )
+
+            def flat_len(t):
+                if isinstance(t, _ST):
+                    return sum(
+                        len(l.transforms)
+                        if isinstance(l, T.CompositeTransform) else 1
+                        for l in t.layers())
+                return 1
+
+            refs = list(ref._transforms)
+            if sum(flat_len(o) for o in ours.transforms) != len(refs):
+                raise ValueError("composite transform length mismatch")
+            new, i = [], 0
+            for o in ours.transforms:
+                n = flat_len(o)
+                r = (refs[i] if n == 1 and not isinstance(o, _ST)
+                     else _types.SimpleNamespace(_transforms=refs[i:i + n]))
+                new.append(from_torch(o, r))
+                i += n
+            return ours.replace(transforms=tuple(new))
         return ours.replace(transforms=tuple(
             from_torch(o, r) for o, r in zip(ours.transforms, ref._transforms)
         ))

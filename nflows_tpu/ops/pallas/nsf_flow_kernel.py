@@ -117,6 +117,8 @@ def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     softplus(boundary constant), reference rational_quadratic.py:37-42).
     Returns (out [T, R], logabsdet [T, R]).
     """
+    from nflows_tpu.ops.pallas import _spline_common as sc
+
     K = num_bins
     B = tail_bound
     x_orig = x_in
@@ -126,31 +128,12 @@ def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     def slice_j(j):
         return P[j * T:(j + 1) * T]
 
-    def normalize(vals, min_size):
-        vmax = vals[0]
-        for v in vals[1:]:
-            vmax = jnp.maximum(vmax, v)
-        exps = [jnp.exp(v - vmax) for v in vals]
-        total = exps[0]
-        for e in exps[1:]:
-            total = total + e
-        inv_total = 1.0 / total
-        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+    widths = sc.softmax_bins([slice_j(j) for j in range(K)], min_bin_width)
+    heights = sc.softmax_bins([slice_j(K + j) for j in range(K)],
+                              min_bin_height)
 
-    widths = normalize([slice_j(j) for j in range(K)], min_bin_width)
-    heights = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
-
-    def edges_of(bins):
-        edges = [jnp.full_like(x, -B)]
-        run = jnp.zeros_like(x)
-        for k in range(K):
-            run = run + bins[k]
-            edges.append(2.0 * B * run - B)
-        edges[-1] = jnp.full_like(x, B)
-        return edges
-
-    edge_w = edges_of(widths)
-    edge_h = edges_of(heights)
+    edge_w = sc.edges_from_bins(widths, x, B)
+    edge_h = sc.edges_from_bins(heights, x, B)
     bin_w = [edge_w[k + 1] - edge_w[k] for k in range(K)]
     bin_h = [edge_h[k + 1] - edge_h[k] for k in range(K)]
 
@@ -160,22 +143,10 @@ def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
         for j in range(K - 1)
     ] + [one]
 
-    search_edges = edge_h if inverse else edge_w
-    idx = jnp.zeros_like(x, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (x >= search_edges[k]).astype(jnp.int32)
-
-    sel_xw, sel_xh = bin_w[0], bin_h[0]
-    sel_cw, sel_ch = edge_w[0], edge_h[0]
-    sel_d0, sel_d1 = derivs[0], derivs[1]
-    for k in range(1, K):
-        m = idx == k
-        sel_xw = jnp.where(m, bin_w[k], sel_xw)
-        sel_xh = jnp.where(m, bin_h[k], sel_xh)
-        sel_cw = jnp.where(m, edge_w[k], sel_cw)
-        sel_ch = jnp.where(m, edge_h[k], sel_ch)
-        sel_d0 = jnp.where(m, derivs[k], sel_d0)
-        sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
+    idx = sc.bin_index_ge(x, edge_h if inverse else edge_w, K)
+    sel_xw, sel_xh, sel_cw, sel_ch, sel_d0, sel_d1 = sc.select_by_index(
+        idx, K, bin_w, bin_h, edge_w[:K], edge_h[:K],
+        derivs[:K], derivs[1:])
 
     delta = sel_xh / sel_xw
     d_sum = sel_d0 + sel_d1 - 2.0 * delta
@@ -231,34 +202,17 @@ def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     inside = (x_orig >= -B) & (x_orig <= B)
     x = jnp.clip(x_orig, -B, B)
 
+    from nflows_tpu.ops.pallas import _spline_common as sc
+
     def slice_j(j):
         return P[j * T:(j + 1) * T]
 
-    def normalize(vals, min_size):
-        vmax = vals[0]
-        for v in vals[1:]:
-            vmax = jnp.maximum(vmax, v)
-        exps = [jnp.exp(v - vmax) for v in vals]
-        total = exps[0]
-        for e in exps[1:]:
-            total = total + e
-        inv_total = 1.0 / total
-        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+    widths = sc.softmax_bins([slice_j(j) for j in range(K)], min_bin_width)
+    heights = sc.softmax_bins([slice_j(K + j) for j in range(K)],
+                              min_bin_height)
 
-    widths = normalize([slice_j(j) for j in range(K)], min_bin_width)
-    heights = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
-
-    def edges_of(bins):
-        edges = [jnp.full_like(x, -B)]
-        run = jnp.zeros_like(x)
-        for k in range(K):
-            run = run + bins[k]
-            edges.append(2.0 * B * run - B)
-        edges[-1] = jnp.full_like(x, B)
-        return edges
-
-    edge_w = edges_of(widths)
-    edge_h = edges_of(heights)
+    edge_w = sc.edges_from_bins(widths, x, B)
+    edge_h = sc.edges_from_bins(heights, x, B)
     bin_w = [edge_w[k + 1] - edge_w[k] for k in range(K)]
     bin_h = [edge_h[k + 1] - edge_h[k] for k in range(K)]
 
@@ -273,24 +227,11 @@ def _lrs_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
         for j in range(K - 1)
     ] + [one]
 
-    search_edges = edge_h if inverse else edge_w
-    idx = jnp.zeros_like(x, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (x >= search_edges[k]).astype(jnp.int32)
-
-    sel_w, sel_h = bin_w[0], bin_h[0]
-    sel_x0, sel_y0 = edge_w[0], edge_h[0]
-    sel_d0, sel_d1 = derivs[0], derivs[1]
-    sel_lam = lams[0]
-    for k in range(1, K):
-        m = idx == k
-        sel_w = jnp.where(m, bin_w[k], sel_w)
-        sel_h = jnp.where(m, bin_h[k], sel_h)
-        sel_x0 = jnp.where(m, edge_w[k], sel_x0)
-        sel_y0 = jnp.where(m, edge_h[k], sel_y0)
-        sel_d0 = jnp.where(m, derivs[k], sel_d0)
-        sel_d1 = jnp.where(m, derivs[k + 1], sel_d1)
-        sel_lam = jnp.where(m, lams[k], sel_lam)
+    idx = sc.bin_index_ge(x, edge_h if inverse else edge_w, K)
+    (sel_w, sel_h, sel_x0, sel_y0, sel_d0, sel_d1,
+     sel_lam) = sc.select_by_index(
+        idx, K, bin_w, bin_h, edge_w[:K], edge_h[:K],
+        derivs[:K], derivs[1:], lams)
 
     out, lad = _lrs_eval_selected(
         x, sel_w, sel_h, sel_x0, sel_y0, sel_d0, sel_d1, sel_lam, inverse)
@@ -394,48 +335,25 @@ def _linear_TR(x_in, P, *, num_bins, T, inverse, tail_bound):
     rescale of the unconstrained wrapper (linear.py:84-111); reference
     semantics nflows/transforms/splines/linear.py:38-105.
     """
+    from nflows_tpu.ops.pallas import _spline_common as sc
+
     K = num_bins
     B = tail_bound
     x_orig = x_in
     inside = (x_orig >= -B) & (x_orig <= B)
     u = (jnp.clip(x_orig, -B, B) + B) / (2.0 * B)
 
-    def slice_j(j):
-        return P[j * T:(j + 1) * T]
-
-    vals = [slice_j(j) for j in range(K)]
-    vmax = vals[0]
-    for v in vals[1:]:
-        vmax = jnp.maximum(vmax, v)
-    exps = [jnp.exp(v - vmax) for v in vals]
-    total = exps[0]
-    for e in exps[1:]:
-        total = total + e
-    inv_total = 1.0 / total
-    pdf = [e * inv_total for e in exps]
-
+    pdf = sc.softmax_bins([P[j * T:(j + 1) * T] for j in range(K)])
     # cdf[0..K], last forced to exactly 1 (linear.py:45-47)
-    cdf = [jnp.zeros_like(u)]
-    run = jnp.zeros_like(u)
-    for k in range(K):
-        run = run + pdf[k]
-        cdf.append(run)
-    cdf[-1] = jnp.ones_like(u)
+    cdf = sc.running_cdf(pdf, u)
 
     if inverse:
-        idx = jnp.zeros_like(u, dtype=jnp.int32)
-        for k in range(1, K):
-            idx = idx + (u >= cdf[k]).astype(jnp.int32)
+        idx = sc.bin_index_ge(u, cdf, K)
         # equal-width bins: slope_k = (cdf[k+1]-cdf[k])*K,
         # offset_k = cdf[k+1] - slope_k*(k+1)/K  (linear.py:52-56)
-        sel_slope = (cdf[1] - cdf[0]) * K
-        sel_off = cdf[1] - sel_slope * (1.0 / K)
-        for k in range(1, K):
-            m = idx == k
-            slope_k = (cdf[k + 1] - cdf[k]) * K
-            off_k = cdf[k + 1] - slope_k * ((k + 1.0) / K)
-            sel_slope = jnp.where(m, slope_k, sel_slope)
-            sel_off = jnp.where(m, off_k, sel_off)
+        slopes = [(cdf[k + 1] - cdf[k]) * K for k in range(K)]
+        offs = [cdf[k + 1] - slopes[k] * ((k + 1.0) / K) for k in range(K)]
+        sel_slope, sel_off = sc.select_by_index(idx, K, slopes, offs)
         out_u = jnp.clip((u - sel_off) / sel_slope, 0.0, 1.0)
         lad = -jnp.log(sel_slope)
     else:
@@ -443,11 +361,7 @@ def _linear_TR(x_in, P, *, num_bins, T, inverse, tail_bound):
         idx_f = jnp.clip(jnp.floor(bin_pos), 0.0, K - 1.0)
         alpha = bin_pos - idx_f
         idx = idx_f.astype(jnp.int32)
-        sel_pdf, sel_cdf = pdf[0], cdf[0]
-        for k in range(1, K):
-            m = idx == k
-            sel_pdf = jnp.where(m, pdf[k], sel_pdf)
-            sel_cdf = jnp.where(m, cdf[k], sel_cdf)
+        sel_pdf, sel_cdf = sc.select_by_index(idx, K, pdf, cdf[:K])
         out_u = jnp.clip(sel_cdf + alpha * sel_pdf, 0.0, 1.0)
         lad = jnp.log(sel_pdf) + math.log(K)
 
@@ -466,6 +380,8 @@ def _quadratic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     exactly 1 at both ends). Math mirrors ops/splines/quadratic.py:28-139;
     reference nflows/transforms/splines/quadratic.py:55-159.
     """
+    from nflows_tpu.ops.pallas import _spline_common as sc
+
     K = num_bins
     B = tail_bound
     x_orig = x_in
@@ -475,18 +391,7 @@ def _quadratic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     def slice_j(j):
         return P[j * T:(j + 1) * T]
 
-    def normalize(vals, min_size):
-        vmax = vals[0]
-        for v in vals[1:]:
-            vmax = jnp.maximum(vmax, v)
-        exps = [jnp.exp(v - vmax) for v in vals]
-        total = exps[0]
-        for e in exps[1:]:
-            total = total + e
-        inv_total = 1.0 / total
-        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
-
-    w = normalize([slice_j(j) for j in range(K)], min_bin_width)
+    w = sc.softmax_bins([slice_j(j) for j in range(K)], min_bin_width)
 
     h_int = [jnp.logaddexp(slice_j(K + j), 0.0) + 1e-3 for j in range(K - 1)]
     # boundary heights that normalize the trapezoid pdf to exactly 1
@@ -505,34 +410,15 @@ def _quadratic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     inv_area = 1.0 / area
     hts = [min_bin_height + (1.0 - min_bin_height) * h * inv_area for h in he]
 
-    # bin-left cdf / locations, last forced to 1 (quadratic.py:89-97)
-    cdf = [jnp.zeros_like(u)]
-    run = jnp.zeros_like(u)
-    for k in range(K):
-        run = run + 0.5 * (hts[k] + hts[k + 1]) * w[k]
-        cdf.append(run)
-    cdf[-1] = jnp.ones_like(u)
-    loc = [jnp.zeros_like(u)]
-    run = jnp.zeros_like(u)
-    for k in range(K):
-        run = run + w[k]
-        loc.append(run)
-    loc[-1] = jnp.ones_like(u)
+    # bin-left cdf (trapezoid areas) / locations, last pinned to exactly 1
+    # (quadratic.py:89-97)
+    cdf = sc.running_cdf(
+        [0.5 * (hts[k] + hts[k + 1]) * w[k] for k in range(K)], u)
+    loc = sc.running_cdf(w, u)
 
-    search = cdf if inverse else loc
-    idx = jnp.zeros_like(u, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (u >= search[k]).astype(jnp.int32)
-
-    sel_loc, sel_w, sel_cdf = loc[0], w[0], cdf[0]
-    sel_hl, sel_hr = hts[0], hts[1]
-    for k in range(1, K):
-        m = idx == k
-        sel_loc = jnp.where(m, loc[k], sel_loc)
-        sel_w = jnp.where(m, w[k], sel_w)
-        sel_cdf = jnp.where(m, cdf[k], sel_cdf)
-        sel_hl = jnp.where(m, hts[k], sel_hl)
-        sel_hr = jnp.where(m, hts[k + 1], sel_hr)
+    idx = sc.bin_index_ge(u, cdf if inverse else loc, K)
+    sel_loc, sel_w, sel_cdf, sel_hl, sel_hr = sc.select_by_index(
+        idx, K, loc[:K], w, cdf[:K], hts[:K], hts[1:])
 
     a = 0.5 * (sel_hr - sel_hl) * sel_w
     b = sel_hl * sel_w
@@ -566,6 +452,8 @@ def _cubic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     nflows/transforms/splines/cubic.py:63-267. The 30 bisection halvings
     unroll at trace time (no loop-carried refs — Mosaic-safe).
     """
+    from nflows_tpu.ops.pallas import _spline_common as sc
+
     K = num_bins
     B = tail_bound
     x_orig = x_in
@@ -575,31 +463,11 @@ def _cubic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
     def slice_j(j):
         return P[j * T:(j + 1) * T]
 
-    def normalize(vals, min_size):
-        vmax = vals[0]
-        for v in vals[1:]:
-            vmax = jnp.maximum(vmax, v)
-        exps = [jnp.exp(v - vmax) for v in vals]
-        total = exps[0]
-        for e in exps[1:]:
-            total = total + e
-        inv_total = 1.0 / total
-        return [min_size + (1.0 - min_size * K) * e * inv_total for e in exps]
+    w = sc.softmax_bins([slice_j(j) for j in range(K)], min_bin_width)
+    h = sc.softmax_bins([slice_j(K + j) for j in range(K)], min_bin_height)
 
-    w = normalize([slice_j(j) for j in range(K)], min_bin_width)
-    h = normalize([slice_j(K + j) for j in range(K)], min_bin_height)
-
-    def edges_of(bins):
-        edges = [jnp.zeros_like(u)]
-        run = jnp.zeros_like(u)
-        for k in range(K):
-            run = run + bins[k]
-            edges.append(run)
-        edges[-1] = jnp.ones_like(u)
-        return edges
-
-    cumw = edges_of(w)
-    cumh = edges_of(h)
+    cumw = sc.running_cdf(w, u)
+    cumh = sc.running_cdf(h, u)
 
     # Steffen monotone interior derivatives (cubic.py:85-103)
     slopes = [h[k] / w[k] for k in range(K)]
@@ -616,27 +484,13 @@ def _cubic_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
             jnp.sign(slopes[k - 1]) + jnp.sign(slopes[k]))
 
     # per-bin cubic y = a t^3 + b t^2 + c t + d (cubic.py:106-110)
-    search = cumh if inverse else cumw
-    idx = jnp.zeros_like(u, dtype=jnp.int32)
-    for k in range(1, K):
-        idx = idx + (u >= search[k]).astype(jnp.int32)
-
-    def coeffs(k):
-        a = (derivs[k] + derivs[k + 1] - 2.0 * slopes[k]) / (w[k] * w[k])
-        b = (3.0 * slopes[k] - 2.0 * derivs[k] - derivs[k + 1]) / w[k]
-        return a, b, derivs[k], cumh[k]
-
-    sel_a, sel_b, sel_c, sel_d = coeffs(0)
-    sel_lw, sel_w = cumw[0], w[0]
-    for k in range(1, K):
-        m = idx == k
-        a_k, b_k, c_k, d_k = coeffs(k)
-        sel_a = jnp.where(m, a_k, sel_a)
-        sel_b = jnp.where(m, b_k, sel_b)
-        sel_c = jnp.where(m, c_k, sel_c)
-        sel_d = jnp.where(m, d_k, sel_d)
-        sel_lw = jnp.where(m, cumw[k], sel_lw)
-        sel_w = jnp.where(m, w[k], sel_w)
+    idx = sc.bin_index_ge(u, cumh if inverse else cumw, K)
+    a_list = [(derivs[k] + derivs[k + 1] - 2.0 * slopes[k]) / (w[k] * w[k])
+              for k in range(K)]
+    b_list = [(3.0 * slopes[k] - 2.0 * derivs[k] - derivs[k + 1]) / w[k]
+              for k in range(K)]
+    sel_a, sel_b, sel_c, sel_d, sel_lw, sel_w = sc.select_by_index(
+        idx, K, a_list, b_list, derivs[:K], cumh[:K], cumw[:K], w)
 
     if inverse:
         # branchless bisection (30 unrolled halvings) + one Newton step

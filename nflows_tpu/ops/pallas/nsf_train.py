@@ -509,13 +509,24 @@ class FusedNSFTrainer:
                     weight=jnp.asarray(w["wf"][l].T[:, inv_order]),
                     bias=jnp.asarray(w["bf"][l, :, 0][inv_order])),
             )
-            new_groups.append(CompositeTransform(
-                [perm, cpl.replace(transform_net=net)]))
+            # perm is None for bare-coupling chains (RealNVP-style — the
+            # extraction's identity permutation); rebuild the layer the
+            # shape it came in
+            rebuilt = cpl.replace(transform_net=net)
+            new_groups.append(
+                rebuilt if perm is None
+                else CompositeTransform([perm, rebuilt]))
+        n_flat = sum(
+            len(g.transforms) if isinstance(g, CompositeTransform) else 1
+            for g in new_groups)
         if isinstance(flow.transform, StackedTransform):
             new_transform = stack_transforms(new_groups)
-        elif len(pairs) * 2 == len(getattr(flow.transform, "transforms", ())):
-            new_transform = CompositeTransform(
-                [t for g in new_groups for t in g.transforms])
+        elif n_flat == len(getattr(flow.transform, "transforms", ())):
+            new_transform = CompositeTransform([
+                t for g in new_groups
+                for t in (g.transforms
+                          if isinstance(g, CompositeTransform) else (g,))
+            ])
         else:
             new_transform = CompositeTransform(new_groups)
         return flow.replace(transform=new_transform)

@@ -62,11 +62,14 @@ class CompiledFlow:
         if use_fused is None or use_fused:
             self._fused = self._try_build_fused(flow, required=bool(use_fused))
             if self._fused is not None:
-                if use_fused is None:
+                if use_fused is None and not CompiledFlow._warned_auto_fused:
                     # auto-selection changes serving numerics vs the XLA
                     # chain by up to ~0.03 nats on trained peaked splines
-                    # (see the numerics note above) — say so once, and
+                    # (see the numerics note above) — say so ONCE per
+                    # process (a deployment constructing one CompiledFlow
+                    # per shape variant should not drown its logs), and
                     # expose `is_fused` so deployments can assert the path
+                    CompiledFlow._warned_auto_fused = True
                     logger.info(
                         "CompiledFlow auto-selected the fused %s megakernel "
                         "path (numerics may differ from the XLA chain by up "
@@ -88,6 +91,7 @@ class CompiledFlow:
                 )
 
     _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap
+    _warned_auto_fused = False  # process-wide once-guard for the info log
 
     @property
     def is_fused(self) -> bool:

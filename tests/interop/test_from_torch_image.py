@@ -105,6 +105,57 @@ def test_glow_style_multiscale_import(reference):
     np.testing.assert_allclose(np.asarray(oli), rli.detach().numpy(), atol=1e-3)
 
 
+def test_stacked_glow_import(reference):
+    """GlowFlow(stacked=True) levels are [squeeze, StackedTransform] while
+    the reference level is a flat chain — from_torch must align the stack
+    against its k reference transforms (regression: 'composite transform
+    length mismatch')."""
+    import jax
+    from nflows import transforms as rt
+    from nflows.nn import nets as rnets
+    from nflows.utils import create_mid_split_binary_mask as ref_mask
+    from nflows_tpu.interop import from_torch
+    from nflows_tpu.models.glow import GlowFlow
+
+    torch.manual_seed(3)
+    c, h, w = 3, 8, 8
+    levels, steps, hidden = 2, 2, 8
+
+    mct = rt.MultiscaleCompositeTransform(num_transforms=levels)
+    shape = (c, h, w)
+    for _ in range(levels):
+        sc = 4 * shape[0]
+        layers = [rt.SqueezeTransform(factor=2)]
+        for _ in range(steps):
+            layers.append(rt.ActNorm(sc))
+            layers.append(rt.OneByOneConvolution(sc))
+            layers.append(rt.AffineCouplingTransform(
+                mask=ref_mask(sc),
+                transform_net_create_fn=lambda i, o: rnets.ConvResidualNet(
+                    i, o, hidden_channels=hidden, num_blocks=2)))
+        shape = mct.add_transform(
+            rt.CompositeTransform(layers),
+            (sc, shape[1] // 2, shape[2] // 2))
+
+    ours = GlowFlow((c, h, w), num_levels=levels, steps_per_level=steps,
+                    hidden_channels=hidden, coupling="affine",
+                    key=jax.random.key(0), stacked=True)
+
+    # lazy-init the reference ActNorms, then import
+    x = np.random.default_rng(5).normal(size=(4, c, h, w)).astype(np.float32)
+    mct.train()
+    mct.forward(torch.as_tensor(x))
+    mct.eval()
+    imported = from_torch(ours.transform, mct)
+
+    ry, rl = mct.forward(torch.as_tensor(x))
+    oy, ol = imported.forward(x)
+    np.testing.assert_allclose(np.asarray(oy), ry.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ol), rl.detach().numpy(),
+                               atol=1e-4)
+
+
 def test_mademog_import(reference):
     import jax
     from nflows.distributions import MADEMoG as RefMADEMoG

@@ -128,6 +128,42 @@ def test_to_flow_roundtrip(flow, trainer):
                                np.asarray(flow.log_prob(x)), atol=1e-5)
 
 
+def test_to_flow_bare_coupling_chain():
+    """A permutation-less RQ coupling chain (RealNVP-style alternating
+    masks) must survive train -> to_flow -> log_prob (regression: to_flow
+    used to insert the extraction's None placeholder permutation into the
+    rebuilt CompositeTransform)."""
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.nn import nets
+    from nflows_tpu.transforms import (
+        PiecewiseRationalQuadraticCouplingTransform,
+    )
+    from nflows_tpu.transforms.base import CompositeTransform
+
+    mask = np.ones(6, dtype=np.float32)
+    mask[::2] = -1
+    keys = jax.random.split(jax.random.key(3), 3)
+    chain = []
+    for i in range(3):
+        def create(inf, outf, _k=keys[i]):
+            return nets.ResidualNet(inf, outf, hidden_features=16,
+                                    num_blocks=1, key=_k)
+        chain.append(PiecewiseRationalQuadraticCouplingTransform(
+            mask=mask, transform_net_create_fn=create, num_bins=4,
+            tails="linear", tail_bound=3.0))
+        mask = mask * -1
+    bare = Flow(transform=CompositeTransform(chain),
+                distribution=StandardNormal([6]))
+    tr = FusedNSFTrainer(bare, batch_size=128, interpret=True)
+    rebuilt = tr.to_flow()
+    # same flat structure back (no nesting, no None)
+    assert len(rebuilt.transform.transforms) == 3
+    x = _batch(6)
+    np.testing.assert_allclose(np.asarray(rebuilt.log_prob(x)),
+                               np.asarray(bare.log_prob(x)), atol=1e-5)
+
+
 def test_lrs_fused_training_gradients():
     flow = _flow(spline="lrs", layers=2, hidden=16)
     tr = FusedNSFTrainer(flow, batch_size=128, interpret=True)
