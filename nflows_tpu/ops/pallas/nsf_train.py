@@ -21,10 +21,16 @@ gets the fused wins. This module supplies it:
   ``to_flow()`` maps the trained weights back into a standard
   ``NeuralSplineFlow`` for serving/eval.
 
+Conditional flows train fused too (round 3): the per-sample context rides
+the lanes in both kernels — the forward adds the context-GLU GEMMs
+(nsf_flow_kernel.py) and the backward produces gradients for the context
+weights AND for the context itself, so an XLA embedding net composed
+outside the kernel trains through ``nsf_train_vjp_call(has_context=True)``.
+
 Reference math being differentiated:
 nflows/transforms/splines/rational_quadratic.py:132-181 (forward branch)
 through nflows/transforms/coupling.py:502-582; the conditioner is
-nflows/nn/nets/resnet.py:55-100.
+nflows/nn/nets/resnet.py:55-100 (context GLU: resnet.py:51).
 
 Gradient equality vs the autodiff'd XLA chain is pinned in
 tests/ops/test_nsf_train.py (interpret mode); TPU throughput in
@@ -54,47 +60,68 @@ def _dot_f32(a, b):
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _conditioner_vals(identity, ws, num_blocks):
+def _conditioner_vals(identity, ws, num_blocks, ctx=None):
     """ResidualNet forward on weight VALUES (differentiable w.r.t. them).
     ``ws`` is the flat per-layer tuple (w0, b0, wb_0..wb_{2nb-1},
-    bb_0..bb_{2nb-1}, wf, bf), every matrix pre-transposed for the
-    samples-on-lanes layout."""
+    bb_0..bb_{2nb-1}, wf, bf[, wc0, wcb_0..wcb_{nb/2-1},
+    bcb_0..bcb_{nb/2-1}]), every matrix pre-transposed for the
+    samples-on-lanes layout; the context tail is present iff ``ctx`` is
+    (matching the inference kernel's context GLU, nsf_flow_kernel.py)."""
     w0, b0 = ws[0], ws[1]
     nb = 2 * num_blocks
     wbs = ws[2:2 + nb]
     bbs = ws[2 + nb:2 + 2 * nb]
-    wf, bf = ws[-2], ws[-1]
+    base = 2 + 2 * nb
+    wf, bf = ws[base], ws[base + 1]
+    if ctx is not None:
+        wc0 = ws[base + 2]
+        wcbs = ws[base + 3:base + 3 + num_blocks]
+        bcbs = ws[base + 3 + num_blocks:base + 3 + 2 * num_blocks]
     h = _dot_f32(w0, identity) + b0
+    if ctx is not None:
+        h = h + _dot_f32(wc0, ctx)
     for j in range(num_blocks):
         t = jnp.maximum(h, 0.0)
         t = _dot_f32(wbs[2 * j], t) + bbs[2 * j]
         t = jnp.maximum(t, 0.0)
         t = _dot_f32(wbs[2 * j + 1], t) + bbs[2 * j + 1]
+        if ctx is not None:
+            gate = _dot_f32(wcbs[j], ctx) + bcbs[j]
+            t = t * (1.0 / (1.0 + jnp.exp(-gate)))
         h = h + t
     return _dot_f32(wf, h) + bf
 
 
-def _make_layer_fn(li, spline, num_bins, num_blocks, wh_scale, spline_kw):
+def _make_layer_fn(li, spline, num_bins, num_blocks, wh_scale, spline_kw,
+                   has_ctx=False):
     """The differentiable forward of ONE [permutation, coupling] layer:
-    (x [D, R], *weights) -> (y [D, R], lad_sum [1, R])."""
+    (x [D, R][, ctx [C, R]], *weights) -> (y [D, R], lad_sum [1, R])."""
     T = len(li.tr_idx)
     KT2 = 2 * num_bins * T
 
-    def layer_fn(x_full, *ws):
+    def body(x_full, ctx, ws):
         identity = _take_rows(x_full, li.id_rows)
         transform = _take_rows(x_full, li.tr_rows)
-        P = _conditioner_vals(identity, ws, num_blocks)
+        P = _conditioner_vals(identity, ws, num_blocks, ctx=ctx)
         P = jnp.concatenate([P[:KT2] * wh_scale, P[KT2:]], axis=0)
         out, lad = _SPLINES_TR[spline](
             transform, P, num_bins=num_bins, T=T, inverse=False, **spline_kw)
         y = _take_rows(jnp.concatenate([identity, out], axis=0), li.merge_fwd)
         return y, jnp.sum(lad, axis=0, keepdims=True)
 
+    if has_ctx:
+        def layer_fn(x_full, ctx, *ws):
+            return body(x_full, ctx, ws)
+    else:
+        def layer_fn(x_full, *ws):
+            return body(x_full, None, ws)
+
     return layer_fn
 
 
 def _slice_layer_weights(l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
-                         num_blocks, H, TM):
+                         num_blocks, H, TM,
+                         wc0_v=None, wcb_v=None, bcb_v=None):
     """Read layer l's weight VALUES out of the flattened VMEM scratch."""
     nb = 2 * num_blocks
 
@@ -105,22 +132,31 @@ def _slice_layer_weights(l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
     ws += [rows(wb_v, l * nb + j, H) for j in range(nb)]
     ws += [rows(bb_v, l * nb + j, H) for j in range(nb)]
     ws += [rows(wf_v, l, TM), rows(bf_v, l, TM)]
+    if wc0_v is not None:
+        ws += [rows(wc0_v, l, H)]
+        ws += [rows(wcb_v, l * num_blocks + j, H) for j in range(num_blocks)]
+        ws += [rows(bcb_v, l * num_blocks + j, H) for j in range(num_blocks)]
     return tuple(ws)
 
 
-def _bwd_kernel(x_ref, gy_ref, glad_ref,
+def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                 w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
-                gx_ref, gw0_ref, gb0_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
-                w0_v, b0_v, wb_v, bb_v, wf_v, bf_v, dma_sems, *,
+                wc0_hbm, wcb_hbm, bcb_hbm,
+                gx_ref, gctx_ref, gw0_ref, gb0_ref, gwb_ref, gbb_ref,
+                gwf_ref, gbf_ref, gwc0_ref, gwcb_ref, gbcb_ref,
+                w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+                wc0_v, wcb_v, bcb_v, dma_sems, *,
                 layer_indices, num_bins, num_blocks, H, TM, spline,
-                spline_kw, wh_scale):
+                spline_kw, wh_scale, has_context):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        pairs = ((w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
-                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v))
+        pairs = [(w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
+                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
+        if has_context:
+            pairs += [(wc0_hbm, wc0_v), (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
         dmas = [
             pltpu.make_async_copy(src, dst, dma_sems.at[i])
             for i, (src, dst) in enumerate(pairs)
@@ -128,7 +164,8 @@ def _bwd_kernel(x_ref, gy_ref, glad_ref,
         for dma in dmas:
             dma.start()
         # zero the cross-tile gradient accumulators while the DMAs fly
-        for ref in (gw0_ref, gb0_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref):
+        for ref in (gw0_ref, gb0_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
+                    gwc0_ref, gwcb_ref, gbcb_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
         for dma in dmas:
             dma.wait()
@@ -136,12 +173,14 @@ def _bwd_kernel(x_ref, gy_ref, glad_ref,
     L = len(layer_indices)
     layer_fns = [
         _make_layer_fn(layer_indices[l], spline, num_bins, num_blocks,
-                       wh_scale, spline_kw)
+                       wh_scale, spline_kw, has_ctx=has_context)
         for l in range(L)
     ]
+    cvs = ((wc0_v, wcb_v, bcb_v) if has_context else (None, None, None))
     all_ws = [
         _slice_layer_weights(l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
-                             num_blocks, H, TM)
+                             num_blocks, H, TM,
+                             wc0_v=cvs[0], wcb_v=cvs[1], bcb_v=cvs[2])
         for l in range(L)
     ]
 
@@ -149,33 +188,54 @@ def _bwd_kernel(x_ref, gy_ref, glad_ref,
     # the cheap residuals; conditioner activations are re-derived inside
     # each layer's vjp)
     x = x_ref[...].astype(jnp.float32)
+    ctx = ctx_ref[...].astype(jnp.float32) if has_context else None
     xs = []
     for l in range(L):
         xs.append(x)
-        x, _ = layer_fns[l](x, *all_ws[l])
+        if has_context:
+            x, _ = layer_fns[l](x, ctx, *all_ws[l])
+        else:
+            x, _ = layer_fns[l](x, *all_ws[l])
 
     # backward sweep: vjp of each traced layer, accumulating weight grads
+    # (and, with context, the per-sample context grad across layers)
     gx = gy_ref[...].astype(jnp.float32)
     glad = glad_ref[...].astype(jnp.float32)
     nb = 2 * num_blocks
+    gctx = None
     for l in range(L - 1, -1, -1):
-        _, vjp = jax.vjp(layer_fns[l], xs[l], *all_ws[l])
-        gx, *gws = vjp((gx, glad))
+        if has_context:
+            _, vjp = jax.vjp(layer_fns[l], xs[l], ctx, *all_ws[l])
+            gx, gctx_l, *gws = vjp((gx, glad))
+            gctx = gctx_l if gctx is None else gctx + gctx_l
+        else:
+            _, vjp = jax.vjp(layer_fns[l], xs[l], *all_ws[l])
+            gx, *gws = vjp((gx, glad))
         gw0_ref[l * H:(l + 1) * H, :] += gws[0]
         gb0_ref[l * H:(l + 1) * H, :] += gws[1]
         for j in range(nb):
             r = (l * nb + j) * H
             gwb_ref[r:r + H, :] += gws[2 + j]
             gbb_ref[r:r + H, :] += gws[2 + nb + j]
-        gwf_ref[l * TM:(l + 1) * TM, :] += gws[-2]
-        gbf_ref[l * TM:(l + 1) * TM, :] += gws[-1]
+        base = 2 + 2 * nb
+        gwf_ref[l * TM:(l + 1) * TM, :] += gws[base]
+        gbf_ref[l * TM:(l + 1) * TM, :] += gws[base + 1]
+        if has_context:
+            gwc0_ref[l * H:(l + 1) * H, :] += gws[base + 2]
+            for j in range(num_blocks):
+                r = (l * num_blocks + j) * H
+                gwcb_ref[r:r + H, :] += gws[base + 3 + j]
+                gbcb_ref[r:r + H, :] += gws[base + 3 + num_blocks + j]
 
     gx_ref[...] = gx
+    gctx_ref[...] = (gctx if has_context
+                     else jnp.zeros(gctx_ref.shape, gctx_ref.dtype))
 
 
 def _bwd_call(x_t, gy_t, glad, w0, b0, wb, bb, wf, bf, *,
               layer_indices, num_bins, num_blocks, spline, spline_kw,
-              wh_scale, lanes, interpret):
+              wh_scale, lanes, interpret,
+              ctx_t=None, wc0=None, wcb=None, bcb=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -191,11 +251,28 @@ def _bwd_call(x_t, gy_t, glad, w0, b0, wb, bb, wf, bf, *,
     wff = wf.reshape(L * TM, H)
     bff = bf.reshape(L * TM, 1)
 
+    has_context = ctx_t is not None
+    if has_context:
+        C = ctx_t.shape[0]
+        ctx_shapes = (wc0.shape, wcb.shape, bcb.shape)
+        wc0f = wc0.reshape(L * H, C)
+        wcbf = wcb.reshape(-1, C)
+        bcbf = bcb.reshape(-1, 1)
+    else:
+        # 1-row dummies keep the pallas_call signature static (the kernel
+        # skips their DMA/use when has_context=False)
+        C = 1
+        ctx_t = jnp.zeros((1, N), dtype=jnp.float32)
+        wc0f = jnp.zeros((1, 1), dtype=jnp.float32)
+        wcbf = jnp.zeros((1, 1), dtype=jnp.float32)
+        bcbf = jnp.zeros((1, 1), dtype=jnp.float32)
+
     kernel = functools.partial(
         _bwd_kernel,
         layer_indices=tuple(layer_indices),
         num_bins=num_bins, num_blocks=num_blocks, H=H, TM=TM,
         spline=spline, spline_kw=spline_kw, wh_scale=wh_scale,
+        has_context=has_context,
     )
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     tile = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -203,23 +280,29 @@ def _bwd_call(x_t, gy_t, glad, w0, b0, wb, bb, wf, bf, *,
     acc = lambda rows, cols: pl.BlockSpec(  # noqa: E731
         (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    gx, gw0, gb0, gwb, gbb, gwf, gbf = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile(D), tile(D), tile(1), hbm, hbm, hbm, hbm, hbm, hbm],
+        in_specs=[tile(D), tile(C), tile(D), tile(1),
+                  hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm],
         out_specs=[
-            tile(D),
+            tile(D), tile(C),
             acc(*w0f.shape), acc(*b0f.shape), acc(*wbf.shape),
             acc(*bbf.shape), acc(*wff.shape), acc(*bff.shape),
+            acc(*wc0f.shape), acc(*wcbf.shape), acc(*bcbf.shape),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((C, N), jnp.float32),
             jax.ShapeDtypeStruct(w0f.shape, jnp.float32),
             jax.ShapeDtypeStruct(b0f.shape, jnp.float32),
             jax.ShapeDtypeStruct(wbf.shape, jnp.float32),
             jax.ShapeDtypeStruct(bbf.shape, jnp.float32),
             jax.ShapeDtypeStruct(wff.shape, jnp.float32),
             jax.ShapeDtypeStruct(bff.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wc0f.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wcbf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bcbf.shape, jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM(w0f.shape, jnp.float32),
@@ -228,26 +311,45 @@ def _bwd_call(x_t, gy_t, glad, w0, b0, wb, bb, wf, bf, *,
             pltpu.VMEM(bbf.shape, jnp.float32),
             pltpu.VMEM(wff.shape, jnp.float32),
             pltpu.VMEM(bff.shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM(wc0f.shape, jnp.float32),
+            pltpu.VMEM(wcbf.shape, jnp.float32),
+            pltpu.VMEM(bcbf.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x_t, gy_t, glad, w0f, b0f, wbf, bbf, wff, bff)
-    return (gx,
+    )(x_t, ctx_t, gy_t, glad, w0f, b0f, wbf, bbf, wff, bff,
+      wc0f, wcbf, bcbf)
+    gx, gctx, gw0, gb0, gwb, gbb, gwf, gbf, gwc0, gwcb, gbcb = outs
+    core = (gx,
             gw0.reshape(w0.shape), gb0.reshape(b0.shape),
             gwb.reshape(wb.shape), gbb.reshape(bb.shape),
             gwf.reshape(wf.shape), gbf.reshape(bf.shape))
+    if not has_context:
+        return core
+    return core + (gctx,
+                   gwc0.reshape(ctx_shapes[0]),
+                   gwcb.reshape(ctx_shapes[1]),
+                   gbcb.reshape(ctx_shapes[2]))
 
 
-def nsf_train_vjp_call(indices, static, lanes, interpret):
+def nsf_train_vjp_call(indices, static, lanes, interpret,
+                       has_context=False):
     """Build the custom_vjp'd fused forward for training.
 
     Returns ``apply(weights_dict, x_t) -> (y_t [D, N], lad [1, N])`` whose
     backward runs the recompute-in-kernel Pallas pass. ``weights_dict``
     holds fp32 kernel-layout stacks (w0/b0/wb/bb/wf/bf) extracted with
     ``fold_wh_scale=False``.
+
+    With ``has_context=True`` the signature is
+    ``apply(weights, x_t, ctx_t)`` where ``ctx_t`` is the [C, N]
+    per-sample (already-embedded) context and ``weights`` additionally
+    holds the context stacks (wc0/wcb/bcb). The backward produces
+    gradients for the context weights AND for ``ctx_t`` itself, so an
+    XLA embedding net composed outside the kernel trains through it.
     """
     from nflows_tpu import config
 
@@ -275,9 +377,12 @@ def nsf_train_vjp_call(indices, static, lanes, interpret):
         interpret=interpret,
     )
 
-    @jax.custom_vjp
-    def apply(weights, x_t):
+    def _forward(weights, x_t, ctx_t):
         H = weights["w0"].shape[1]
+        ctx_kw = {}
+        if has_context:
+            ctx_kw = dict(ctx_t=ctx_t, wc0=weights["wc0"],
+                          wcb=weights["wcb"], bcb=weights["bcb"])
         return nsf_flow_kernel_call(
             x_t, weights["w0"], weights["b0"], weights["wb"], weights["bb"],
             weights["wf"], weights["bf"], tuple(indices), inverse=False,
@@ -288,24 +393,54 @@ def nsf_train_vjp_call(indices, static, lanes, interpret):
             min_derivative=static["min_derivative"],
             spline=static["spline"], min_lambda=static["min_lambda"],
             wh_scale=1.0 / math.sqrt(H), lanes=lanes, interpret=interpret,
-            packed_select=packed,
+            packed_select=packed, **ctx_kw,
         )
 
-    def fwd(weights, x_t):
-        return apply(weights, x_t), (weights, x_t)
-
-    def bwd(res, cot):
-        weights, x_t = res
-        gy_t, glad = cot
+    def _backward(weights, x_t, ctx_t, gy_t, glad):
         H = weights["w0"].shape[1]
-        gx, gw0, gb0, gwb, gbb, gwf, gbf = _bwd_call(
+        ctx_kw = {}
+        if has_context:
+            ctx_kw = dict(ctx_t=ctx_t, wc0=weights["wc0"],
+                          wcb=weights["wcb"], bcb=weights["bcb"])
+        outs = _bwd_call(
             x_t, gy_t, glad,
             weights["w0"], weights["b0"], weights["wb"], weights["bb"],
             weights["wf"], weights["bf"],
-            wh_scale=1.0 / math.sqrt(H), **common,
+            wh_scale=1.0 / math.sqrt(H), **common, **ctx_kw,
         )
+        gx, gw0, gb0, gwb, gbb, gwf, gbf = outs[:7]
         gweights = dict(w0=gw0, b0=gb0, wb=gwb, bb=gbb, wf=gwf, bf=gbf)
-        return gweights, gx
+        if not has_context:
+            return gweights, gx, None
+        gctx, gwc0, gwcb, gbcb = outs[7:]
+        gweights.update(wc0=gwc0, wcb=gwcb, bcb=gbcb)
+        return gweights, gx, gctx
+
+    if has_context:
+        @jax.custom_vjp
+        def apply(weights, x_t, ctx_t):
+            return _forward(weights, x_t, ctx_t)
+
+        def fwd(weights, x_t, ctx_t):
+            return apply(weights, x_t, ctx_t), (weights, x_t, ctx_t)
+
+        def bwd(res, cot):
+            weights, x_t, ctx_t = res
+            gy_t, glad = cot
+            return _backward(weights, x_t, ctx_t, gy_t, glad)
+    else:
+        @jax.custom_vjp
+        def apply(weights, x_t):
+            return _forward(weights, x_t, None)
+
+        def fwd(weights, x_t):
+            return apply(weights, x_t), (weights, x_t)
+
+        def bwd(res, cot):
+            weights, x_t = res
+            gy_t, glad = cot
+            gweights, gx, _ = _backward(weights, x_t, None, gy_t, glad)
+            return gweights, gx
 
     apply.defvjp(fwd, bwd)
     return apply
@@ -333,12 +468,16 @@ class FusedNSFTrainer:
         if interpret is None:
             interpret = not pallas_available()
         (self._indices, weights, self._static, self.features,
-         context_features) = _extract(flow, jnp.float32,
-                                      fold_wh_scale=False)
-        if context_features is not None:
+         self.context_features) = _extract(flow, jnp.float32,
+                                           fold_wh_scale=False)
+        if (self.context_features is not None
+                and getattr(flow, "embedding_net", None) is not None):
             raise ValueError(
-                "fused training is context-free in this version; train "
-                "conditional flows on the XLA chain")
+                "fused training takes the RAW context (identity embedding "
+                "only); flows with an embedding_net train on the XLA "
+                "chain, or compose nsf_train_vjp_call(has_context=True) "
+                "with the embedding net yourself — its ctx gradient flows "
+                "through")
         if self._static["spline"] not in ("rq", "lrs"):
             raise ValueError(
                 "fused training covers the spline families (rq/lrs); "
@@ -355,14 +494,20 @@ class FusedNSFTrainer:
         self._lanes = max(c for c in range(128, 1025, 128)
                           if self.batch_size % c == 0)
         self._interpret = interpret
+        self._has_ctx = self.context_features is not None
         self._apply = nsf_train_vjp_call(
-            self._indices, self._static, self._lanes, interpret)
+            self._indices, self._static, self._lanes, interpret,
+            has_context=self._has_ctx)
 
     # -- training ----------------------------------------------------------
 
-    def loss_fn(self, weights, batch_t):
-        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes)."""
-        y_t, lad = self._apply(weights, batch_t)
+    def loss_fn(self, weights, batch_t, ctx_t=None):
+        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes) and,
+        for conditional flows, ``ctx_t`` is the [C, N] context."""
+        if self._has_ctx:
+            y_t, lad = self._apply(weights, batch_t, ctx_t)
+        else:
+            y_t, lad = self._apply(weights, batch_t)
         log_z = 0.5 * self.features * math.log(2.0 * math.pi)
         lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
         return -jnp.mean(lp)
@@ -371,13 +516,26 @@ class FusedNSFTrainer:
         return optimizer.init(self.weights)
 
     def make_train_step(self, optimizer, donate=True):
+        """Conditional flows take ``step(weights, opt_state, batch,
+        context)``; unconditional ones ``step(weights, opt_state, batch)``.
+        """
         import optax
 
-        def step(weights, opt_state, batch):
+        def _update(weights, opt_state, batch, context):
             batch_t = jnp.asarray(batch, jnp.float32).T
-            loss, grads = jax.value_and_grad(self.loss_fn)(weights, batch_t)
+            ctx_t = (None if context is None
+                     else jnp.asarray(context, jnp.float32).T)
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                weights, batch_t, ctx_t)
             updates, opt_state = optimizer.update(grads, opt_state, weights)
             return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def step(weights, opt_state, batch, context):
+                return _update(weights, opt_state, batch, context)
+        else:
+            def step(weights, opt_state, batch):
+                return _update(weights, opt_state, batch, None)
 
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
@@ -407,26 +565,40 @@ class FusedNSFTrainer:
                 f"global batch {self.batch_size} over {n} '{data_axis}' "
                 "devices must give a per-device batch that is a multiple "
                 "of 128")
+        P = PartitionSpec
         lanes = max(c for c in range(128, 1025, 128) if per_dev % c == 0)
         apply_local = nsf_train_vjp_call(
-            self._indices, self._static, lanes, self._interpret)
+            self._indices, self._static, lanes, self._interpret,
+            has_context=self._has_ctx)
         log_z = 0.5 * self.features * math.log(2.0 * math.pi)
 
-        def local_loss(weights, batch_t):
-            y_t, lad = apply_local(weights, batch_t)
+        def local_loss(weights, batch_t, ctx_t):
+            if self._has_ctx:
+                y_t, lad = apply_local(weights, batch_t, ctx_t)
+            else:
+                y_t, lad = apply_local(weights, batch_t)
             lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
             return -jnp.mean(lp)
 
-        def shard_step(weights, opt_state, batch):
+        def _shard_update(weights, opt_state, batch, context):
+            ctx_t = None if context is None else context.T
             loss, grads = jax.value_and_grad(local_loss)(
-                weights, batch.T)
+                weights, batch.T, ctx_t)
             # equal shards: global mean = pmean of per-shard means
             grads = jax.lax.pmean(grads, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
             updates, opt_state = optimizer.update(grads, opt_state, weights)
             return optax.apply_updates(weights, updates), opt_state, loss
 
-        P = PartitionSpec
+        if self._has_ctx:
+            def shard_step(weights, opt_state, batch, context):
+                return _shard_update(weights, opt_state, batch, context)
+            in_specs = (P(), P(), P(data_axis), P(data_axis))
+        else:
+            def shard_step(weights, opt_state, batch):
+                return _shard_update(weights, opt_state, batch, None)
+            in_specs = (P(), P(), P(data_axis))
+
         # pallas_call does not carry the varying-across-mesh (vma) type
         # shard_map's replication checker needs, so disable the check —
         # replication is real here (pmean'd grads, identical updates) and
@@ -434,14 +606,14 @@ class FusedNSFTrainer:
         try:
             sharded = shard_map(
                 shard_step, mesh=mesh,
-                in_specs=(P(), P(), P(data_axis)),
+                in_specs=in_specs,
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
         except TypeError:  # older jax spells it check_rep
             sharded = shard_map(
                 shard_step, mesh=mesh,
-                in_specs=(P(), P(), P(data_axis)),
+                in_specs=in_specs,
                 out_specs=(P(), P(), P()),
                 check_rep=False,
             )
@@ -449,20 +621,31 @@ class FusedNSFTrainer:
 
     def make_scan_train_step(self, optimizer):
         """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
-        the same scan-fused loop shape bench.py uses for the XLA path."""
+        the same scan-fused loop shape bench.py uses for the XLA path.
+        Conditional flows scan over ``(batches, contexts)`` pairs."""
         import optax
 
-        def one(carry, batch):
+        def one(carry, xs):
             weights, opt_state = carry
-            batch_t = batch.T
-            loss, grads = jax.value_and_grad(self.loss_fn)(weights, batch_t)
+            if self._has_ctx:
+                batch, context = xs
+                args = (batch.T, context.T)
+            else:
+                args = (xs.T,)
+            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
             updates, opt_state = optimizer.update(grads, opt_state, weights)
             return (optax.apply_updates(weights, updates), opt_state), loss
 
-        def steps(weights, opt_state, batches):
-            (weights, opt_state), losses = jax.lax.scan(
-                one, (weights, opt_state), batches)
-            return weights, opt_state, losses
+        if self._has_ctx:
+            def steps(weights, opt_state, batches, contexts):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), (batches, contexts))
+                return weights, opt_state, losses
+        else:
+            def steps(weights, opt_state, batches):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), batches)
+                return weights, opt_state, losses
 
         return jax.jit(steps, donate_argnums=(0, 1))
 
@@ -490,19 +673,29 @@ class FusedNSFTrainer:
             M = w["wf"].shape[1] // T
             order = np.array([t * M + j for j in range(M) for t in range(T)])
             inv_order = np.argsort(order)
+            has_ctx = "wc0" in w
             blocks = []
             for j, blk in enumerate(net.blocks):
-                blocks.append(blk.replace(
+                repl = dict(
                     linear_0=blk.linear_0.replace(
                         weight=jnp.asarray(w["wb"][l, 2 * j].T),
                         bias=jnp.asarray(w["bb"][l, 2 * j, :, 0])),
                     linear_1=blk.linear_1.replace(
                         weight=jnp.asarray(w["wb"][l, 2 * j + 1].T),
                         bias=jnp.asarray(w["bb"][l, 2 * j + 1, :, 0])),
-                ))
+                )
+                if has_ctx:
+                    repl["context_layer"] = blk.context_layer.replace(
+                        weight=jnp.asarray(w["wcb"][l, j].T),
+                        bias=jnp.asarray(w["bcb"][l, j, :, 0]))
+                blocks.append(blk.replace(**repl))
+            # initial layer acts on [inputs ‖ context] rows: re-concat the
+            # input part (w0) with the context part (wc0) when present
+            w_init = (np.concatenate([w["w0"][l].T, w["wc0"][l].T], axis=0)
+                      if has_ctx else w["w0"][l].T)
             net = net.replace(
                 initial_layer=net.initial_layer.replace(
-                    weight=jnp.asarray(w["w0"][l].T),
+                    weight=jnp.asarray(w_init),
                     bias=jnp.asarray(w["b0"][l, :, 0])),
                 blocks=tuple(blocks),
                 final_layer=net.final_layer.replace(

@@ -175,7 +175,95 @@ def test_lrs_fused_training_gradients():
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in g.values())
 
 
-def test_conditional_flow_rejected():
-    with pytest.raises(ValueError, match="context-free"):
-        FusedNSFTrainer(_flow(context_features=2), batch_size=128,
-                        interpret=True)
+# -- conditional fused training (round 3) ---------------------------------
+
+
+def _ctx(seed=7, n=128, c=3):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, c)),
+        dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cflow():
+    return _flow(context_features=3, layers=2, hidden=16)
+
+
+@pytest.fixture(scope="module")
+def ctrainer(cflow):
+    return FusedNSFTrainer(cflow, batch_size=128, interpret=True)
+
+
+def test_conditional_fused_loss_matches_xla(cflow, ctrainer):
+    x, c = _batch(d=6), _ctx()
+    fused = float(ctrainer.loss_fn(ctrainer.weights, x.T, c.T))
+    xla = float(-cflow.log_prob(x, c).mean())
+    assert abs(fused - xla) < 1e-4, (fused, xla)
+
+
+def test_conditional_fused_gradients_match_xla_chain(cflow, ctrainer):
+    """Weight grads (incl. the context stacks) AND the context grad must
+    equal jax.grad through the XLA chain."""
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+
+    x, c = _batch(2), _ctx(8)
+
+    g_fused, g_ctx_t = jax.grad(ctrainer.loss_fn, argnums=(0, 2))(
+        ctrainer.weights, x.T, c.T)
+
+    def xla_loss(params, rest, ctx):
+        return -combine(params, rest).log_prob(x, ctx).mean()
+
+    params, rest = partition(cflow)
+    g_params, g_ctx_xla = jax.grad(xla_loss, argnums=(0, 2))(
+        params, rest, c)
+    grad_flow = combine(g_params, rest)
+    _, g_kernel_layout, _, _, _ = _extract(grad_flow, jnp.float32,
+                                           fold_wh_scale=False)
+
+    for k in ("w0", "b0", "wb", "bb", "wf", "bf", "wc0", "wcb", "bcb"):
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_kernel_layout[k]),
+            atol=2e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(g_ctx_t.T),
+                               np.asarray(g_ctx_xla), atol=2e-4)
+
+
+def test_conditional_fused_adam_step_matches(cflow, ctrainer):
+    """Three conditional Adam steps coincide with the XLA trajectory."""
+    from nflows_tpu.training import create_train_state, make_train_step
+
+    opt = optax.adam(1e-2)
+    step = ctrainer.make_train_step(opt, donate=False)
+    weights, opt_state = ctrainer.weights, ctrainer.init_opt(opt)
+    losses_fused = []
+    for i in range(3):
+        weights, opt_state, loss = step(
+            weights, opt_state, _batch(20 + i), _ctx(30 + i))
+        losses_fused.append(float(loss))
+
+    state = create_train_state(cflow, opt)
+    xla_step = make_train_step(opt, donate=False)
+    losses_xla = []
+    for i in range(3):
+        state, metrics = xla_step(state, _batch(20 + i), _ctx(30 + i))
+        losses_xla.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses_fused, losses_xla, atol=2e-4)
+
+
+def test_conditional_to_flow_roundtrip(cflow, ctrainer):
+    rebuilt = ctrainer.to_flow()
+    x, c = _batch(4), _ctx(9)
+    np.testing.assert_allclose(np.asarray(rebuilt.log_prob(x, c)),
+                               np.asarray(cflow.log_prob(x, c)), atol=1e-5)
+
+
+def test_embedding_net_flow_rejected():
+    from nflows_tpu.nn.nets import MLP
+
+    emb = MLP([3], [3], hidden_sizes=[8], key=jax.random.key(5))
+    base = _flow(context_features=3, layers=2, hidden=16)
+    with_emb = base.replace(embedding_net=emb)
+    with pytest.raises(ValueError, match="embedding"):
+        FusedNSFTrainer(with_emb, batch_size=128, interpret=True)
