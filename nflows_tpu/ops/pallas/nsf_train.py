@@ -27,6 +27,16 @@ the lanes in both kernels — the forward adds the context-GLU GEMMs
 weights AND for the context itself, so an XLA embedding net composed
 outside the kernel trains through ``nsf_train_vjp_call(has_context=True)``.
 
+All seven coupling families train fused (round 3): rq/lrs/linear/
+quadratic/cubic splines and affine/additive couplings. The per-family
+softmax 1/sqrt(hidden) rescale prefix differs — rq/lrs/cubic rescale
+widths+heights (the first 2KT K-major param rows), quadratic rescales ALL
+its params (its M=2K-1 < 2K rows are fully covered by the clamped 2KT
+slice), linear/affine/additive rescale nothing (``wh_scale=None``) —
+matching extraction's ``n_scaled`` table (nsf_fused.py) so
+fold_wh_scale=False weights stay elementwise-optimizer-equivalent in
+every family (tests/ops/test_nsf_train_families.py).
+
 Reference math being differentiated:
 nflows/transforms/splines/rational_quadratic.py:132-181 (forward branch)
 through nflows/transforms/coupling.py:502-582; the conditioner is
@@ -103,7 +113,11 @@ def _make_layer_fn(li, spline, num_bins, num_blocks, wh_scale, spline_kw,
         identity = _take_rows(x_full, li.id_rows)
         transform = _take_rows(x_full, li.tr_rows)
         P = _conditioner_vals(identity, ws, num_blocks, ctx=ctx)
-        P = jnp.concatenate([P[:KT2] * wh_scale, P[KT2:]], axis=0)
+        if wh_scale is not None:
+            # first 2KT K-major rows are widths+heights (for quadratic,
+            # whose M=2K-1 < 2K, the clamped slice covers ALL its params —
+            # matching the reference's full-param softmax rescale)
+            P = jnp.concatenate([P[:KT2] * wh_scale, P[KT2:]], axis=0)
         out, lad = _SPLINES_TR[spline](
             transform, P, num_bins=num_bins, T=T, inverse=False, **spline_kw)
         y = _take_rows(jnp.concatenate([identity, out], axis=0), li.merge_fwd)
@@ -353,23 +367,40 @@ def nsf_train_vjp_call(indices, static, lanes, interpret,
     """
     from nflows_tpu import config
 
-    spline_kw = dict(
-        tail_bound=static["tail_bound"],
-        min_bin_width=static["min_bin_width"],
-        min_bin_height=static["min_bin_height"],
-        min_derivative=static["min_derivative"],
-    )
-    if static["spline"] == "lrs":
-        spline_kw["min_lambda"] = static["min_lambda"]
+    family = static["spline"]
+    if family in ("affine", "additive"):
+        # scale_act='none' is the additive case (extraction sets it)
+        spline_kw = dict(scale_act=static["scale_act"])
+    elif family == "linear":
+        spline_kw = dict(tail_bound=static["tail_bound"])
+    elif family in ("quadratic", "cubic"):
+        spline_kw = dict(
+            tail_bound=static["tail_bound"],
+            min_bin_width=static["min_bin_width"],
+            min_bin_height=static["min_bin_height"],
+        )
+    else:
+        spline_kw = dict(
+            tail_bound=static["tail_bound"],
+            min_bin_width=static["min_bin_width"],
+            min_bin_height=static["min_bin_height"],
+            min_derivative=static["min_derivative"],
+        )
+        if family == "lrs":
+            spline_kw["min_lambda"] = static["min_lambda"]
+    # rq/lrs/cubic rescale widths+heights by 1/sqrt(hidden); quadratic
+    # rescales ALL its params (covered by the clamped 2KT slice); linear
+    # and affine/additive rescale nothing (extraction folds nothing either
+    # way, so fold_wh_scale=False weights are already the model's own)
+    scaled = family in ("rq", "lrs", "cubic", "quadratic")
     # resolve the packed-select choice ONCE at build so the forward kernel
     # and the recompute-in-kernel backward always run the same spline form
     packed = (config.packed_spline_select()
-              and f"{static['spline']}_packed" in _SPLINES_TR)
-    bwd_spline = (f"{static['spline']}_packed" if packed
-                  else static["spline"])
+              and f"{family}_packed" in _SPLINES_TR)
+    bwd_spline = f"{family}_packed" if packed else family
     common = dict(
         layer_indices=tuple(indices),
-        num_bins=static["num_bins"],
+        num_bins=static.get("num_bins", 0),
         num_blocks=static["num_blocks"],
         spline=bwd_spline,
         spline_kw=spline_kw,
@@ -386,13 +417,16 @@ def nsf_train_vjp_call(indices, static, lanes, interpret,
         return nsf_flow_kernel_call(
             x_t, weights["w0"], weights["b0"], weights["wb"], weights["bb"],
             weights["wf"], weights["bf"], tuple(indices), inverse=False,
-            num_bins=static["num_bins"], num_blocks=static["num_blocks"],
-            tail_bound=static["tail_bound"],
-            min_bin_width=static["min_bin_width"],
-            min_bin_height=static["min_bin_height"],
-            min_derivative=static["min_derivative"],
-            spline=static["spline"], min_lambda=static["min_lambda"],
-            wh_scale=1.0 / math.sqrt(H), lanes=lanes, interpret=interpret,
+            num_bins=static.get("num_bins", 0),
+            num_blocks=static["num_blocks"],
+            tail_bound=static.get("tail_bound"),
+            min_bin_width=static.get("min_bin_width"),
+            min_bin_height=static.get("min_bin_height"),
+            min_derivative=static.get("min_derivative"),
+            spline=family, min_lambda=static.get("min_lambda"),
+            scale_act=static.get("scale_act"),
+            wh_scale=(1.0 / math.sqrt(H)) if scaled else None,
+            lanes=lanes, interpret=interpret,
             packed_select=packed, **ctx_kw,
         )
 
@@ -406,7 +440,8 @@ def nsf_train_vjp_call(indices, static, lanes, interpret,
             x_t, gy_t, glad,
             weights["w0"], weights["b0"], weights["wb"], weights["bb"],
             weights["wf"], weights["bf"],
-            wh_scale=1.0 / math.sqrt(H), **common, **ctx_kw,
+            wh_scale=(1.0 / math.sqrt(H)) if scaled else None,
+            **common, **ctx_kw,
         )
         gx, gw0, gb0, gwb, gbb, gwf, gbf = outs[:7]
         gweights = dict(w0=gw0, b0=gb0, wb=gwb, bb=gbb, wf=gwf, bf=gbf)
@@ -478,10 +513,6 @@ class FusedNSFTrainer:
                 "chain, or compose nsf_train_vjp_call(has_context=True) "
                 "with the embedding net yourself — its ctx gradient flows "
                 "through")
-        if self._static["spline"] not in ("rq", "lrs"):
-            raise ValueError(
-                "fused training covers the spline families (rq/lrs); "
-                "affine/additive flows train on the XLA chain")
         self.weights = weights
         self._flow_template = flow
         self.batch_size = int(batch_size)
@@ -665,14 +696,19 @@ class FusedNSFTrainer:
         w = jax.device_get(weights)
         flow = jax.device_get(self._flow_template)
         pairs = _layer_groups(flow.transform)
-        K = self._static["num_bins"]
         new_groups = []
         for l, (perm, cpl) in enumerate(pairs):
             net = cpl.transform_net
             T = cpl.num_transform_features
             M = w["wf"].shape[1] // T
-            order = np.array([t * M + j for j in range(M) for t in range(T)])
-            inv_order = np.argsort(order)
+            if self._static["spline"] in ("affine", "additive"):
+                # affine params are already param-major; extraction did not
+                # reorder them
+                inv_order = np.arange(T * M)
+            else:
+                order = np.array(
+                    [t * M + j for j in range(M) for t in range(T)])
+                inv_order = np.argsort(order)
             has_ctx = "wc0" in w
             blocks = []
             for j, blk in enumerate(net.blocks):
