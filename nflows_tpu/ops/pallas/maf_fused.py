@@ -6,11 +6,13 @@ over a StandardNormal base, where the AR layer is a
 MaskedAffineAutoregressiveTransform (MAF), a
 MaskedPiecewiseRationalQuadraticAutoregressiveTransform with linear tails
 (NSF-AR), or either wrapped in InverseTransform (IAF) — each with a
-residual-block relu MADE, no context/dropout/batch-norm. Masks are folded
-into the weights, the final layer reordered param-major (with the RQ
-width/height rescale folded in), and the result is a :class:`FusedMAF`
-with megakernel ``sample`` / ``log_prob`` / ``sample_and_log_prob`` /
-``forward`` / ``inverse``.
+residual-block relu MADE, no dropout/batch-norm. Conditional flows are
+supported (round 3): the additive MADE context projections ride along and
+are precomputed once per layer in-kernel (loop-invariant across the AR
+sampling fixed point). Masks are folded into the weights, the final layer
+reordered param-major (with the RQ width/height rescale folded in), and
+the result is a :class:`FusedMAF` with megakernel ``sample`` /
+``log_prob`` / ``sample_and_log_prob`` / ``forward`` / ``inverse``.
 
 Inference-only (training uses the autodiff'd XLA chain); see
 benchmarks/bench_fused_maf.py for measured throughput.
@@ -45,7 +47,27 @@ def _masked_weight_T(md):
     return (np.asarray(md.weight) * np.asarray(md.mask)).T
 
 
-def _extract(flow, dtype):
+def _extract(flow, dtype, fold_masks=True, fold_wh_scale=True,
+             allow_wrapped=True, return_masks=False):
+    """Re-lay a qualifying AR flow's weights for the kernel.
+
+    Serving uses the defaults (masks and the RQ width/height rescale folded
+    into the weights). Fused TRAINING (maf_train.py) passes
+    ``fold_masks=False, fold_wh_scale=False, return_masks=True``: the
+    trainable weights stay pure transposes/permutations of the model's own
+    (elementwise-optimizer equivalence — masked entries get zero gradients
+    through the per-step XLA mask fold and never move under Adam), the
+    masks come back in kernel layout for that fold, and the kernel applies
+    the rescale via ``wh_scale``. ``allow_wrapped=False`` rejects
+    InverseTransform-wrapped (IAF) layers, whose density-evaluation
+    direction is a fixed point the training kernel does not differentiate.
+    """
+    return _extract_impl(flow, dtype, fold_masks, fold_wh_scale,
+                         allow_wrapped, return_masks)
+
+
+def _extract_impl(flow, dtype, fold_masks, fold_wh_scale, allow_wrapped,
+                  return_masks):
     from nflows_tpu.distributions.normal import StandardNormal
     from nflows_tpu.nn.made import MADE, MaskedResidualBlock
     from nflows_tpu.transforms.autoregressive import (
@@ -86,6 +108,8 @@ def _extract(flow, dtype):
 
     layer_static = []
     wis, bis, wbs, bbs, wfs, bfs = [], [], [], [], [], []
+    wcis, bcis, wcbs, bcbs = [], [], [], []
+    mis, mbs, mfs = [], [], []
     ref_cfg = None
     for i in range(0, len(ts), 2):
         perm, ar = ts[i], ts[i + 1]
@@ -110,8 +134,6 @@ def _extract(flow, dtype):
         made = ar.autoregressive_net
         if not isinstance(made, MADE) or not made.use_residual_blocks:
             raise ValueError("fused path requires residual-block MADE")
-        if made.context_layer is not None:
-            raise ValueError("context not supported in the fused path")
         if made.activation is not jax.nn.relu:
             raise ValueError("fused MADE requires relu activation")
         for blk in made.blocks:
@@ -126,11 +148,18 @@ def _extract(flow, dtype):
 
         D = made.features
         H = made.hidden_features
-        cfg = (transformer, mult, D, H, len(made.blocks), spline_cfg)
+        Cf = (None if made.context_layer is None
+              else made.context_layer.weight.shape[0])
+        cfg = (transformer, mult, D, H, len(made.blocks), spline_cfg, Cf)
         if ref_cfg is None:
             ref_cfg = cfg
         elif cfg != ref_cfg:
             raise ValueError("layers must be homogeneous to fuse")
+
+        if wrapped and not allow_wrapped:
+            raise ValueError(
+                "InverseTransform-wrapped (IAF) layers are not supported "
+                "here: the density direction is a fixed point")
 
         p = np.asarray(perm.permutation)
         layer_static.append(MAFLayerStatic(
@@ -139,29 +168,51 @@ def _extract(flow, dtype):
             wrapped=wrapped,
         ))
 
-        wis.append(_masked_weight_T(made.initial_layer))          # [H, D]
+        def wT(md):
+            return (_masked_weight_T(md) if fold_masks
+                    else np.asarray(md.weight).T)
+
+        wis.append(wT(made.initial_layer))                        # [H, D]
         bis.append(np.asarray(made.initial_layer.bias)[:, None])
+        if return_masks:
+            mis.append(np.asarray(made.initial_layer.mask).T)
+        if Cf is not None:
+            # additive context projections (made.py:296-297, 212-213):
+            # plain Dense — [C, H] weight, transposed for samples-on-lanes
+            wcis.append(np.asarray(made.context_layer.weight).T)  # [H, C]
+            bcis.append(np.asarray(made.context_layer.bias)[:, None])
         for blk in made.blocks:
             for lin in (blk.linear_0, blk.linear_1):
-                wbs.append(_masked_weight_T(lin))                 # [H, H]
+                wbs.append(wT(lin))                               # [H, H]
                 bbs.append(np.asarray(lin.bias)[:, None])
+                if return_masks:
+                    mbs.append(np.asarray(lin.mask).T)
+            if Cf is not None:
+                if blk.context_layer is None:
+                    raise ValueError(
+                        "mixed context/context-free MADE blocks")
+                wcbs.append(np.asarray(blk.context_layer.weight).T)
+                bcbs.append(np.asarray(blk.context_layer.bias)[:, None])
         # final layer [H, mult*D]: the reference packs params
         # feature-major (col t*mult+j = param j of feature t,
         # autoregressive.py:96-101 / _reshape_params); reorder param-major
         # (row j*D+t) for the kernel. For the RQ transformer also fold the
         # 1/sqrt(hidden) width/height rescale (autoregressive.py:329-331 —
-        # note the AR variant scales widths AND heights) into the weights.
-        wf = _masked_weight_T(made.final_layer)                   # [mult*D, H]
+        # note the AR variant scales widths AND heights) into the weights
+        # (unless fold_wh_scale=False: training applies it in-kernel).
+        wf = wT(made.final_layer)                                 # [mult*D, H]
         bf = np.asarray(made.final_layer.bias)[:, None]
         order = np.array([t * mult + j for j in range(mult) for t in range(D)])
         scale = np.ones(mult * D, dtype=wf.dtype)
-        if transformer == "rq":
+        if transformer == "rq" and fold_wh_scale:
             K = ar.num_bins
             scale[: 2 * K * D] = 1.0 / np.sqrt(H)
         wfs.append(wf[order] * scale[:, None])
         bfs.append(bf[order] * scale[:, None])
+        if return_masks:
+            mfs.append(np.asarray(made.final_layer.mask).T[order])
 
-    transformer, mult, D, H, num_blocks, spline_cfg = ref_cfg
+    transformer, mult, D, H, num_blocks, spline_cfg, Cf = ref_cfg
     weights = dict(
         wi=jnp.asarray(np.concatenate(wis), dtype=dtype),
         bi=jnp.asarray(np.concatenate(bis), dtype=jnp.float32),
@@ -170,38 +221,71 @@ def _extract(flow, dtype):
         wf=jnp.asarray(np.concatenate(wfs), dtype=dtype),
         bf=jnp.asarray(np.concatenate(bfs), dtype=jnp.float32),
     )
+    if Cf is not None:
+        weights.update(
+            wci=jnp.asarray(np.concatenate(wcis), dtype=dtype),
+            bci=jnp.asarray(np.concatenate(bcis), dtype=jnp.float32),
+            wcb=jnp.asarray(np.concatenate(wcbs), dtype=dtype),
+            bcb=jnp.asarray(np.concatenate(bcbs), dtype=jnp.float32),
+        )
     spline_kw = None
     if transformer == "rq":
         K, tb, mbw, mbh, md = spline_cfg
         spline_kw = dict(num_bins=K, tail_bound=tb, min_bin_width=mbw,
                          min_bin_height=mbh, min_derivative=md)
-    return layer_static, weights, num_blocks, D, transformer, spline_kw
+    out = (layer_static, weights, num_blocks, D, transformer, spline_kw, Cf)
+    if not return_masks:
+        return out
+    masks = dict(
+        wi=jnp.asarray(np.concatenate(mis), dtype=dtype),
+        wb=jnp.asarray(np.concatenate(mbs), dtype=dtype),
+        wf=jnp.asarray(np.concatenate(mfs), dtype=dtype),
+    )
+    return out + (masks,)
 
 
 class FusedMAF:
     """Megakernel-backed inference view of a MAF. See nsf_fused.FusedNSF
-    for the API contract (Transform + context-free Distribution)."""
+    for the API contract. Conditional flows are supported (round 3): the
+    embedding net runs once outside the kernel, the embedded per-sample
+    context rides the lanes, and the additive MADE context projections
+    (nn/made.py:296-297, 212-213) are precomputed ONCE per layer inside
+    the kernel — constant across the D-step AR sampling fixed point, so
+    conditional sampling pays one set of context GEMMs, not D."""
 
     def __init__(self, flow, dtype=jnp.bfloat16, lanes: int = 2048,
                  interpret: bool = False):
         (self._static, self._weights, self._num_blocks, self.features,
-         self._transformer, self._spline_kw) = _extract(flow, dtype)
+         self._transformer, self._spline_kw,
+         self.context_features) = _extract(flow, dtype)
+        self._embedding_net = getattr(flow, "embedding_net", None)
         self._lanes = lanes
         self._interpret = interpret
         self._build_runners()
 
     def _build_runners(self):
-        def run(x_t, inverse):
+        has_ctx = self.context_features is not None
+
+        def run(x_t, ctx_t, inverse):
             w = self._weights
+            ctx_kw = {}
+            if has_ctx:
+                ctx_kw = dict(ctx_t=ctx_t, wci=w["wci"], bci=w["bci"],
+                              wcb=w["wcb"], bcb=w["bcb"])
             return maf_flow_kernel_call(
                 x_t, w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
                 self._static, inverse=inverse, num_blocks=self._num_blocks,
                 transformer=self._transformer, spline_kw=self._spline_kw,
-                lanes=self._lanes, interpret=self._interpret,
+                lanes=self._lanes, interpret=self._interpret, **ctx_kw,
             )
 
-        self._run_fwd = jax.jit(lambda x_t: run(x_t, False))
-        self._run_inv = jax.jit(lambda x_t: run(x_t, True))
+        self._run_fwd = jax.jit(lambda x_t, ctx_t: run(x_t, ctx_t, False))
+        self._run_inv = jax.jit(lambda x_t, ctx_t: run(x_t, ctx_t, True))
+
+    def _embed(self, context):
+        if context is None or self._embedding_net is None:
+            return context
+        return self._embedding_net(context)
 
     def with_lanes(self, lanes: int) -> "FusedMAF":
         """A view of the same extracted weights with a different lane tile
@@ -212,28 +296,49 @@ class FusedMAF:
         view._build_runners()
         return view
 
-    def _apply(self, inputs, inverse):
+    def _check_context(self, context, n):
+        if self.context_features is None:
+            if context is not None:
+                raise ValueError(
+                    "this flow was fused without context support but a "
+                    "context was passed")
+            return None
+        if context is None:
+            raise ValueError(
+                "this flow is conditional; a context of shape "
+                f"[N, ...] matching the {n} inputs is required")
+        if context.shape[0] != n:
+            raise ValueError(
+                f"context has {context.shape[0]} rows but inputs have {n}")
+        return context
+
+    def _apply(self, inputs, inverse, embedded_context=None):
         n = inputs.shape[0]
         if inputs.ndim != 2 or inputs.shape[1] != self.features:
             raise ValueError(
                 f"expected [N, {self.features}] inputs, got {inputs.shape}")
         pad = (-n) % self._lanes
         x_t = jnp.asarray(inputs, jnp.float32).T
+        ctx_t = None
+        if embedded_context is not None:
+            ctx_t = jnp.asarray(embedded_context, jnp.float32).T
         if pad:
             x_t = jnp.pad(x_t, ((0, 0), (0, pad)))
+            if ctx_t is not None:
+                ctx_t = jnp.pad(ctx_t, ((0, 0), (0, pad)))
         run = self._run_inv if inverse else self._run_fwd
-        y_t, lad = run(x_t)
+        y_t, lad = run(x_t, ctx_t)
         return y_t[:, :n].T, lad[0, :n]
 
     def forward(self, inputs, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        return self._apply(inputs, inverse=False)
+        context = self._check_context(context, inputs.shape[0])
+        return self._apply(inputs, inverse=False,
+                           embedded_context=self._embed(context))
 
     def inverse(self, inputs, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        return self._apply(inputs, inverse=True)
+        context = self._check_context(context, inputs.shape[0])
+        return self._apply(inputs, inverse=True,
+                           embedded_context=self._embed(context))
 
     def log_prob(self, inputs, context=None):
         noise, logabsdet = self.forward(inputs, context)
@@ -241,21 +346,54 @@ class FusedMAF:
             - 0.5 * self.features * np.log(2 * np.pi)
         return log_base + logabsdet
 
+    def _conditional_noise(self, key, num_samples, embedded):
+        """Noise + repeated context in the exact layout/key-stream of
+        Flow._sample's context-free-base branch (flows/base.py:72-99), so
+        fused and XLA endpoints agree sample-for-sample."""
+        from nflows_tpu.utils import shapes as shapeutils
+
+        m = embedded.shape[0]
+        noise = jax.random.normal(key, (num_samples * m, self.features))
+        ctx_rep = shapeutils.repeat_rows(embedded, num_reps=num_samples)
+        return noise, ctx_rep
+
     def sample(self, key, num_samples, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        noise = jax.random.normal(key, (num_samples, self.features))
-        samples, _ = self.inverse(noise)
-        return samples
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, _ = self._apply(noise, inverse=True)
+            return samples
+        if self.context_features is None:
+            raise ValueError(
+                "this flow was fused without context support but a "
+                "context was passed")
+        embedded = self._embed(context)
+        noise, ctx_rep = self._conditional_noise(key, num_samples, embedded)
+        samples, _ = self._apply(noise, inverse=True,
+                                 embedded_context=ctx_rep)
+        return samples.reshape(context.shape[0], num_samples, self.features)
 
     def sample_and_log_prob(self, key, num_samples, context=None):
-        if context is not None:
-            raise ValueError("fused path is context-free")
-        noise = jax.random.normal(key, (num_samples, self.features))
-        samples, logabsdet = self.inverse(noise)
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, logabsdet = self._apply(noise, inverse=True)
+            log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
+                - 0.5 * self.features * np.log(2 * np.pi)
+            return samples, log_base - logabsdet
+        if self.context_features is None:
+            raise ValueError(
+                "this flow was fused without context support but a "
+                "context was passed")
+        embedded = self._embed(context)
+        noise, ctx_rep = self._conditional_noise(key, num_samples, embedded)
+        samples, logabsdet = self._apply(noise, inverse=True,
+                                         embedded_context=ctx_rep)
         log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
             - 0.5 * self.features * np.log(2 * np.pi)
-        return samples, log_base - logabsdet
+        m = context.shape[0]
+        return (samples.reshape(m, num_samples, self.features),
+                (log_base - logabsdet).reshape(m, num_samples))
 
 
 def fuse_maf(flow, dtype=jnp.bfloat16, lanes: int = 2048,

@@ -118,8 +118,7 @@ class CompiledFlow:
         # tile via with_lanes in __init__
         lanes = self._lane_tile(self.batch_size)
 
-        # the NSF megakernel supports per-sample context (round 3); the MAF
-        # one is still context-free and will reject conditional flows
+        # both megakernels support per-sample context (round 3)
         errors = []
         for fuse in (fuse_nsf, fuse_maf):
             try:

@@ -160,3 +160,105 @@ def test_iaf_fuses_and_matches_xla():
     np.testing.assert_allclose(np.asarray(flow.log_prob(x)),
                                np.asarray(fused.log_prob(x)),
                                rtol=1e-4, atol=1e-3)
+
+
+# -- conditional AR megakernel (round 3) -----------------------------------
+
+
+def _cond_maf(features=5, hidden=32, layers=3, ctx=3, seed=0):
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.transforms import (
+        CompositeTransform,
+        MaskedAffineAutoregressiveTransform,
+        RandomPermutation,
+    )
+
+    rng = np.random.default_rng(seed)
+    keys = jax.random.split(jax.random.key(seed), layers)
+    chain = []
+    for i in range(layers):
+        chain.append(RandomPermutation(features, rng=rng))
+        chain.append(MaskedAffineAutoregressiveTransform(
+            features=features, hidden_features=hidden, context_features=ctx,
+            num_blocks=2, key=keys[i]))
+    return Flow(transform=CompositeTransform(chain),
+                distribution=StandardNormal([features]))
+
+
+def test_conditional_maf_matches_xla():
+    """The additive MADE context projections (precomputed once per layer
+    in-kernel) must reproduce the XLA chain in both directions."""
+    flow = _cond_maf()
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    assert fused.context_features == 3
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(100, 5)), dtype=jnp.float32)
+    c = jnp.asarray(rng.normal(size=(100, 3)), dtype=jnp.float32)
+
+    y_ref, lad_ref = flow.transform.forward(x, c)
+    y_f, lad_f = fused.forward(x, c)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-5)
+
+    z_ref, ladi_ref = flow.transform.inverse(x, c)
+    z_f, ladi_f = fused.inverse(x, c)
+    np.testing.assert_allclose(np.asarray(z_ref), np.asarray(z_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ladi_ref), np.asarray(ladi_f),
+                               atol=1e-4)
+
+    np.testing.assert_allclose(np.asarray(flow.log_prob(x, c)),
+                               np.asarray(fused.log_prob(x, c)), atol=1e-5)
+
+
+def test_conditional_maf_sampling_layout():
+    """sample(key, n, context) must agree with the XLA endpoint
+    sample-for-sample ([M, n, D] with the same key stream)."""
+    flow = _cond_maf(layers=2, hidden=16)
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    c = jnp.asarray(np.random.default_rng(12).normal(size=(4, 3)),
+                    dtype=jnp.float32)
+    s_ref = flow.sample(jax.random.key(7), 10, context=c)
+    s_f = fused.sample(jax.random.key(7), 10, context=c)
+    assert s_f.shape == (4, 10, 5)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_f), atol=1e-4)
+    s, lp = fused.sample_and_log_prob(jax.random.key(8), 6, context=c)
+    lp_chk = fused.log_prob(s.reshape(-1, 5),
+                            jnp.repeat(c, 6, axis=0)).reshape(4, 6)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_chk), atol=1e-4)
+
+
+def test_conditional_nsf_ar_matches_xla():
+    from nflows_tpu.models import NeuralSplineFlowAR
+
+    flow = NeuralSplineFlowAR(features=5, hidden_features=16, num_layers=2,
+                              num_blocks_per_layer=2, num_bins=4,
+                              tail_bound=3.0, context_features=2,
+                              key=jax.random.key(0),
+                              rng=np.random.default_rng(0))
+    assert can_fuse_maf(flow)
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(64, 5)) * 2, dtype=jnp.float32)
+    c = jnp.asarray(rng.normal(size=(64, 2)), dtype=jnp.float32)
+    y_ref, lad_ref = flow.transform.forward(x, c)
+    y_f, lad_f = fused.forward(x, c)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_ref), np.asarray(lad_f),
+                               atol=1e-4)
+    z_ref, ladi_ref = flow.transform.inverse(x, c)
+    z_f, ladi_f = fused.inverse(x, c)
+    np.testing.assert_allclose(np.asarray(z_ref), np.asarray(z_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ladi_ref), np.asarray(ladi_f),
+                               atol=1e-4)
+
+
+def test_conditional_context_errors():
+    flow = _cond_maf(layers=2, hidden=16)
+    fused = fuse_maf(flow, dtype=jnp.float32, lanes=128, interpret=True)
+    x = jnp.ones((8, 5))
+    with pytest.raises(ValueError, match="conditional"):
+        fused.forward(x)  # missing context
+    with pytest.raises(ValueError, match="rows"):
+        fused.forward(x, jnp.ones((5, 3)))  # batch mismatch

@@ -279,3 +279,52 @@ def test_compiled_flow_conditional_fused(monkeypatch):
     s_x = xla.sample(jax.random.key(2), context=c)
     assert s_f.shape == (16, 8, 4)
     np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), atol=1e-4)
+
+
+def test_compiled_flow_conditional_fused_maf(monkeypatch):
+    """A conditional MAF also auto-selects its megakernel in serving
+    (round 3: the AR kernel's additive context projections)."""
+    import functools
+
+    import numpy as np
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.ops.pallas import maf_fused, rq_spline
+    from nflows_tpu.serving import CompiledFlow
+    from nflows_tpu.transforms import (
+        CompositeTransform,
+        MaskedAffineAutoregressiveTransform,
+        RandomPermutation,
+    )
+
+    monkeypatch.setattr(rq_spline, "pallas_available", lambda: True)
+    monkeypatch.setattr(maf_fused, "fuse_maf",
+                        functools.partial(maf_fused.fuse_maf,
+                                          interpret=True))
+
+    rng = np.random.default_rng(0)
+    keys = jax.random.split(jax.random.key(0), 2)
+    chain = []
+    for i in range(2):
+        chain.append(RandomPermutation(4, rng=rng))
+        chain.append(MaskedAffineAutoregressiveTransform(
+            features=4, hidden_features=16, context_features=2,
+            num_blocks=1, key=keys[i]))
+    flow = Flow(transform=CompositeTransform(chain),
+                distribution=StandardNormal([4]))
+
+    served = CompiledFlow(flow, batch_size=16, features=4,
+                          context_features=2, num_samples=8)
+    assert served.is_fused
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 4)), dtype=jnp.float32)
+    c = jnp.asarray(rng.normal(size=(16, 2)), dtype=jnp.float32)
+    xla = CompiledFlow(flow, batch_size=16, features=4, context_features=2,
+                       num_samples=8, use_fused=False)
+    np.testing.assert_allclose(np.asarray(served.log_prob(x, c)),
+                               np.asarray(xla.log_prob(x, c)), atol=1e-4)
+    s_f = served.sample(jax.random.key(2), context=c)
+    s_x = xla.sample(jax.random.key(2), context=c)
+    assert s_f.shape == (16, 8, 4)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), atol=1e-4)
