@@ -20,6 +20,9 @@ def main():
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--context", type=int, default=None,
+                   help="context features: benchmark the CONDITIONAL AR "
+                        "megakernel (per-layer precomputed context GEMMs)")
     args = p.parse_args()
 
     import jax
@@ -30,17 +33,43 @@ def main():
     from nflows_tpu.flows import MaskedAutoregressiveFlow
     from nflows_tpu.ops.pallas.maf_fused import fuse_maf
 
-    flow = MaskedAutoregressiveFlow(
-        features=args.features, hidden_features=args.hidden,
-        num_layers=args.layers, num_blocks_per_layer=2,
-        key=jax.random.key(0))
+    if args.context:
+        from nflows_tpu.distributions import StandardNormal
+        from nflows_tpu.flows.base import Flow
+        from nflows_tpu.transforms import (
+            CompositeTransform,
+            MaskedAffineAutoregressiveTransform,
+            RandomPermutation,
+        )
+
+        prng = np.random.default_rng(0)
+        keys = jax.random.split(jax.random.key(0), args.layers)
+        chain = []
+        for i in range(args.layers):
+            chain.append(RandomPermutation(args.features, rng=prng))
+            chain.append(MaskedAffineAutoregressiveTransform(
+                features=args.features, hidden_features=args.hidden,
+                context_features=args.context, num_blocks=2, key=keys[i]))
+        flow = Flow(transform=CompositeTransform(chain),
+                    distribution=StandardNormal([args.features]))
+    else:
+        flow = MaskedAutoregressiveFlow(
+            features=args.features, hidden_features=args.hidden,
+            num_layers=args.layers, num_blocks_per_layer=2,
+            key=jax.random.key(0))
     fused = fuse_maf(flow)
     N = args.n
     rng = np.random.default_rng(1)
 
+    def ctx_for(n):
+        if not args.context:
+            return None
+        return jnp.asarray(rng.normal(size=(n, args.context)), jnp.float32)
+
     z0 = jnp.asarray(rng.normal(size=(4096, args.features)), jnp.float32)
-    x_ref, lad_ref = jax.jit(flow.transform.inverse)(z0)
-    x_f, lad_f = fused.inverse(z0)
+    c0 = ctx_for(4096)
+    x_ref, lad_ref = jax.jit(flow.transform.inverse)(z0, c0)
+    x_f, lad_f = fused.inverse(z0, c0)
     # relative error: an UNTRAINED random MAF's inverse reaches ~1e19 (the
     # fixed point amplifies through D features x L layers), so absolute
     # error is meaningless here; fp32 fused shows the same 4e-5 rel err
@@ -65,11 +94,13 @@ def main():
 
     zs = [jnp.asarray(rng.normal(size=(N, args.features)), dtype=jnp.float32)
           for _ in range(args.reps + 1)]
+    cs = [ctx_for(N) for _ in range(args.reps + 1)]
+    zcs = list(zip(zs, cs))
 
-    t_xla_inv = timed(lambda z: xla_inv(z), zs)
-    t_fus_inv = timed(lambda z: fused.inverse(z), zs)
-    t_xla_fwd = timed(lambda z: xla_fwd(z), zs)
-    t_fus_fwd = timed(lambda z: fused.forward(z), zs)
+    t_xla_inv = timed(lambda zc: xla_inv(zc[0], zc[1]), zcs)
+    t_fus_inv = timed(lambda zc: fused.inverse(zc[0], zc[1]), zcs)
+    t_xla_fwd = timed(lambda zc: xla_fwd(zc[0], zc[1]), zcs)
+    t_fus_fwd = timed(lambda zc: fused.forward(zc[0], zc[1]), zcs)
 
     for name, t_x, t_f in (("ancestral sampling (AR inverse)",
                             t_xla_inv, t_fus_inv),

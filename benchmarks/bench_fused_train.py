@@ -8,6 +8,7 @@ note in DESIGN.md. Both paths run identical math (Adam, fp32 params,
 scalar fetch on fresh inputs, scan windows amortize the round trip).
 
 Usage: python benchmarks/bench_fused_train.py [--batch 512 2048 8192]
+       python benchmarks/bench_fused_train.py --family maf   # AR trainer
 """
 
 import argparse
@@ -30,6 +31,9 @@ def main():
     p.add_argument("--inner", type=int, default=100,
                    help="train steps per dispatch (lax.scan window)")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--family", choices=["nsf", "maf"], default="nsf",
+                   help="nsf = stacked coupling flow (FusedNSFTrainer); "
+                        "maf = masked-affine AR flow (FusedMAFTrainer)")
     args = p.parse_args()
 
     import jax
@@ -37,7 +41,9 @@ def main():
     import optax
 
     from benchmarks._timing import timeit_calls
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
     from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas.maf_train import FusedMAFTrainer
     from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
     from nflows_tpu.training import create_train_state
     from nflows_tpu.training.train import make_scan_train_step
@@ -45,11 +51,19 @@ def main():
     rng = np.random.default_rng(0)
 
     def flow_for():
+        if args.family == "maf":
+            return MaskedAutoregressiveFlow(
+                features=args.features, hidden_features=args.hidden,
+                num_layers=args.layers, num_blocks_per_layer=args.blocks,
+                use_random_permutations=True, key=jax.random.key(0),
+                rng=np.random.default_rng(0))
         return NeuralSplineFlow(
             features=args.features, hidden_features=args.hidden,
             num_layers=args.layers, num_blocks_per_layer=args.blocks,
             num_bins=args.bins, key=jax.random.key(0),
             rng=np.random.default_rng(0), stacked=True)
+
+    trainer_cls = FusedMAFTrainer if args.family == "maf" else FusedNSFTrainer
 
     for batch in args.batch:
         windows = [
@@ -77,7 +91,7 @@ def main():
         sps_xla = args.inner / t_xla
 
         # ---- fused megakernel trainer ----
-        trainer = FusedNSFTrainer(flow_for(), batch_size=batch)
+        trainer = trainer_cls(flow_for(), batch_size=batch)
         fused_steps = trainer.make_scan_train_step(opt)
         weights = trainer.weights
         opt_state = trainer.init_opt(opt)

@@ -1,0 +1,592 @@
+"""Fused TRAINING for autoregressive flows (MAF / NSF-AR): forward and
+backward passes each run as one Pallas megakernel.
+
+The recipe is nsf_train.py's, applied to the AR megakernel
+(maf_flow_kernel.py): ``maf_train_vjp_call`` builds a ``jax.custom_vjp``
+whose forward is the fused AR chain (log_prob direction — one MADE pass
+per layer, no fixed point) and whose backward is a second Pallas kernel
+that recomputes per-layer inputs in VMEM and differentiates each layer
+with ``jax.vjp`` on the same traced layer function — no hand-derived
+adjoints. Weight gradients accumulate across grid tiles in VMEM-resident
+constant-index output blocks (TPU grids are sequential, so ``+=`` is
+exact).
+
+The MASK twist vs the coupling trainer: MADE weights are masked denses,
+and the serving extraction folds mask into weight. A trainable pytree of
+FOLDED weights would let masked entries drift under Adam (dense grads),
+breaking the autoregressive property. ``FusedMAFTrainer`` therefore owns
+the UNFOLDED weights (pure transposes/permutations of the model's own —
+elementwise-optimizer equivalence) plus the static masks in kernel
+layout, and folds ``w * mask`` per step in XLA outside the kernel; the
+chain rule through that multiply zeroes masked-entry gradients exactly
+like the XLA path's MaskedDense, so masked entries never move (Adam on a
+zero-gradient entry is exactly zero). For NSF-AR the RQ width/height
+1/sqrt(hidden) rescale is likewise left unfolded and applied in-kernel
+(``wh_scale``).
+
+Conditional flows train fused: the per-sample context rides the lanes and
+the backward emits gradients for the additive MADE context projections
+AND for the context itself. IAF (InverseTransform-wrapped) layers are
+rejected — their density direction is a D-step fixed point this kernel
+does not differentiate; train IAF with VI on the sampling direction.
+
+Reference math being differentiated:
+nflows/transforms/autoregressive.py:64-128 (affine AR, softplus scale),
+:329-331 (AR RQ rescale) through nflows/transforms/made.py (masked nets).
+
+Gradient equality vs the autodiff'd XLA chain is pinned in
+tests/ops/test_maf_train.py (interpret mode); TPU throughput in
+benchmarks/bench_fused_train.py --family maf.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nflows_tpu.ops.pallas.maf_flow_kernel import (
+    _EPSILON,
+    maf_flow_kernel_call,
+)
+from nflows_tpu.ops.pallas.nsf_flow_kernel import _rq_spline_TR, _take_rows
+
+__all__ = ["FusedMAFTrainer", "maf_train_vjp_call"]
+
+
+def _dot_f32(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _made_vals(xp, ws, num_blocks, ctx=None):
+    """Residual MADE forward on weight VALUES (already mask-folded by the
+    XLA-side fold): [D, R] -> [P_rows, R]. Context is additive
+    (nn/made.py:296-297 initial ``+relu``, :212-213 per block)."""
+    wi, bi = ws[0], ws[1]
+    nb = 2 * num_blocks
+    wbs = ws[2:2 + nb]
+    bbs = ws[2 + nb:2 + 2 * nb]
+    base = 2 + 2 * nb
+    wf, bf = ws[base], ws[base + 1]
+    if ctx is not None:
+        wci, bci = ws[base + 2], ws[base + 3]
+        wcbs = ws[base + 4:base + 4 + num_blocks]
+        bcbs = ws[base + 4 + num_blocks:base + 4 + 2 * num_blocks]
+    h = _dot_f32(wi, xp) + bi
+    if ctx is not None:
+        h = h + jnp.maximum(_dot_f32(wci, ctx) + bci, 0.0)
+    for j in range(num_blocks):
+        t = jnp.maximum(h, 0.0)
+        t = _dot_f32(wbs[2 * j], t) + bbs[2 * j]
+        if ctx is not None:
+            t = t + _dot_f32(wcbs[j], ctx) + bcbs[j]
+        t = jnp.maximum(t, 0.0)
+        t = _dot_f32(wbs[2 * j + 1], t) + bbs[2 * j + 1]
+        h = h + t
+    return _dot_f32(wf, h) + bf
+
+
+def _make_layer_fn(ls, transformer, num_blocks, D, wh_scale, spline_kw,
+                   has_ctx=False):
+    """The differentiable log_prob-direction forward of ONE
+    [permutation, AR] layer: (x [D, R][, ctx [C, R]], *weights) ->
+    (y [D, R], lad_sum [1, R])."""
+
+    def body(x_full, ctx, ws):
+        xp = _take_rows(x_full, ls.perm_rows)
+        P = _made_vals(xp, ws, num_blocks, ctx=ctx)
+        if transformer == "affine":
+            scale = jnp.logaddexp(P[:D], 0.0) + _EPSILON
+            y = scale * xp + P[D:]
+            lad = jnp.log(scale)
+        else:
+            if wh_scale is not None:
+                KD2 = 2 * spline_kw["num_bins"] * D
+                P = jnp.concatenate([P[:KD2] * wh_scale, P[KD2:]], axis=0)
+            y, lad = _rq_spline_TR(xp, P, T=D, inverse=False, **spline_kw)
+        return y, jnp.sum(lad, axis=0, keepdims=True)
+
+    if has_ctx:
+        def layer_fn(x_full, ctx, *ws):
+            return body(x_full, ctx, ws)
+    else:
+        def layer_fn(x_full, *ws):
+            return body(x_full, None, ws)
+
+    return layer_fn
+
+
+def _slice_layer_weights(l, wi_v, bi_v, wb_v, bb_v, wf_v, bf_v,
+                         num_blocks, H, P_rows,
+                         wci_v=None, bci_v=None, wcb_v=None, bcb_v=None):
+    """Read layer l's weight VALUES out of the flattened VMEM scratch."""
+    nb = 2 * num_blocks
+
+    def rows(ref, i, r):
+        return ref[i * r:(i + 1) * r, :]
+
+    ws = [rows(wi_v, l, H), rows(bi_v, l, H)]
+    ws += [rows(wb_v, l * nb + j, H) for j in range(nb)]
+    ws += [rows(bb_v, l * nb + j, H) for j in range(nb)]
+    ws += [rows(wf_v, l, P_rows), rows(bf_v, l, P_rows)]
+    if wci_v is not None:
+        ws += [rows(wci_v, l, H), rows(bci_v, l, H)]
+        ws += [rows(wcb_v, l * num_blocks + j, H) for j in range(num_blocks)]
+        ws += [rows(bcb_v, l * num_blocks + j, H) for j in range(num_blocks)]
+    return tuple(ws)
+
+
+def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
+                wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
+                wci_hbm, bci_hbm, wcb_hbm, bcb_hbm,
+                gx_ref, gctx_ref, gwi_ref, gbi_ref, gwb_ref, gbb_ref,
+                gwf_ref, gbf_ref, gwci_ref, gbci_ref, gwcb_ref, gbcb_ref,
+                wi_v, bi_v, wb_v, bb_v, wf_v, bf_v,
+                wci_v, bci_v, wcb_v, bcb_v, dma_sems, *,
+                layer_static, transformer, num_blocks, D, H, P_rows,
+                spline_kw, wh_scale, has_context):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        pairs = [(wi_hbm, wi_v), (bi_hbm, bi_v), (wb_hbm, wb_v),
+                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
+        if has_context:
+            pairs += [(wci_hbm, wci_v), (bci_hbm, bci_v),
+                      (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
+        dmas = [
+            pltpu.make_async_copy(src, dst, dma_sems.at[i])
+            for i, (src, dst) in enumerate(pairs)
+        ]
+        for dma in dmas:
+            dma.start()
+        # zero the cross-tile gradient accumulators while the DMAs fly
+        for ref in (gwi_ref, gbi_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
+                    gwci_ref, gbci_ref, gwcb_ref, gbcb_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+        for dma in dmas:
+            dma.wait()
+
+    L = len(layer_static)
+    layer_fns = [
+        _make_layer_fn(layer_static[l], transformer, num_blocks, D,
+                       wh_scale, spline_kw, has_ctx=has_context)
+        for l in range(L)
+    ]
+    cvs = ((wci_v, bci_v, wcb_v, bcb_v) if has_context
+           else (None, None, None, None))
+    all_ws = [
+        _slice_layer_weights(l, wi_v, bi_v, wb_v, bb_v, wf_v, bf_v,
+                             num_blocks, H, P_rows,
+                             wci_v=cvs[0], bci_v=cvs[1], wcb_v=cvs[2],
+                             bcb_v=cvs[3])
+        for l in range(L)
+    ]
+
+    # forward recompute, keeping only the per-layer INPUTS ([D, R] each)
+    x = x_ref[...].astype(jnp.float32)
+    ctx = ctx_ref[...].astype(jnp.float32) if has_context else None
+    xs = []
+    for l in range(L):
+        xs.append(x)
+        if has_context:
+            x, _ = layer_fns[l](x, ctx, *all_ws[l])
+        else:
+            x, _ = layer_fns[l](x, *all_ws[l])
+
+    # backward sweep: vjp of each traced layer, accumulating weight grads
+    gx = gy_ref[...].astype(jnp.float32)
+    glad = glad_ref[...].astype(jnp.float32)
+    nb = 2 * num_blocks
+    gctx = None
+    for l in range(L - 1, -1, -1):
+        if has_context:
+            _, vjp = jax.vjp(layer_fns[l], xs[l], ctx, *all_ws[l])
+            gx, gctx_l, *gws = vjp((gx, glad))
+            gctx = gctx_l if gctx is None else gctx + gctx_l
+        else:
+            _, vjp = jax.vjp(layer_fns[l], xs[l], *all_ws[l])
+            gx, *gws = vjp((gx, glad))
+        gwi_ref[l * H:(l + 1) * H, :] += gws[0]
+        gbi_ref[l * H:(l + 1) * H, :] += gws[1]
+        for j in range(nb):
+            r = (l * nb + j) * H
+            gwb_ref[r:r + H, :] += gws[2 + j]
+            gbb_ref[r:r + H, :] += gws[2 + nb + j]
+        base = 2 + 2 * nb
+        gwf_ref[l * P_rows:(l + 1) * P_rows, :] += gws[base]
+        gbf_ref[l * P_rows:(l + 1) * P_rows, :] += gws[base + 1]
+        if has_context:
+            gwci_ref[l * H:(l + 1) * H, :] += gws[base + 2]
+            gbci_ref[l * H:(l + 1) * H, :] += gws[base + 3]
+            for j in range(num_blocks):
+                r = (l * num_blocks + j) * H
+                gwcb_ref[r:r + H, :] += gws[base + 4 + j]
+                gbcb_ref[r:r + H, :] += gws[base + 4 + num_blocks + j]
+
+    gx_ref[...] = gx
+    gctx_ref[...] = (gctx if has_context
+                     else jnp.zeros(gctx_ref.shape, gctx_ref.dtype))
+
+
+def _bwd_call(x_t, gy_t, glad, wi, bi, wb, bb, wf, bf, *,
+              layer_static, transformer, num_blocks, spline_kw, wh_scale,
+              lanes, interpret,
+              ctx_t=None, wci=None, bci=None, wcb=None, bcb=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, N = x_t.shape
+    L = len(layer_static)
+    H = wi.shape[0] // L
+    P_rows = wf.shape[0] // L
+    grid = (N // lanes,)
+
+    has_context = ctx_t is not None
+    if has_context:
+        C = ctx_t.shape[0]
+    else:
+        C = 1
+        ctx_t = jnp.zeros((1, N), dtype=jnp.float32)
+        wci = jnp.zeros((1, 1), dtype=jnp.float32)
+        bci = jnp.zeros((1, 1), dtype=jnp.float32)
+        wcb = jnp.zeros((1, 1), dtype=jnp.float32)
+        bcb = jnp.zeros((1, 1), dtype=jnp.float32)
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        layer_static=tuple(layer_static), transformer=transformer,
+        num_blocks=num_blocks, D=D, H=H, P_rows=P_rows,
+        spline_kw=dict(spline_kw or {}), wh_scale=wh_scale,
+        has_context=has_context,
+    )
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    tile = lambda shape: pl.BlockSpec(  # noqa: E731
+        (shape, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
+    acc = lambda a: pl.BlockSpec(  # noqa: E731
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile(D), tile(C), tile(D), tile(1),
+                  hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm],
+        out_specs=[
+            tile(D), tile(C),
+            acc(wi), acc(bi), acc(wb), acc(bb), acc(wf), acc(bf),
+            acc(wci), acc(bci), acc(wcb), acc(bcb),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((C, N), jnp.float32),
+            jax.ShapeDtypeStruct(wi.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bi.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wb.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bb.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wci.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bci.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wcb.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bcb.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(wi.shape, jnp.float32),
+            pltpu.VMEM(bi.shape, jnp.float32),
+            pltpu.VMEM(wb.shape, jnp.float32),
+            pltpu.VMEM(bb.shape, jnp.float32),
+            pltpu.VMEM(wf.shape, jnp.float32),
+            pltpu.VMEM(bf.shape, jnp.float32),
+            pltpu.VMEM(wci.shape, jnp.float32),
+            pltpu.VMEM(bci.shape, jnp.float32),
+            pltpu.VMEM(wcb.shape, jnp.float32),
+            pltpu.VMEM(bcb.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((10,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_t, ctx_t, gy_t, glad, wi, bi, wb, bb, wf, bf, wci, bci, wcb, bcb)
+    gx, gctx = outs[0], outs[1]
+    core = (gx,) + tuple(outs[2:8])
+    if not has_context:
+        return core
+    return core + (gctx,) + tuple(outs[8:12])
+
+
+def maf_train_vjp_call(layer_static, transformer, num_blocks, spline_kw,
+                       H, lanes, interpret, has_context=False):
+    """Build the custom_vjp'd fused forward for AR training.
+
+    Returns ``apply(folded, x_t[, ctx_t]) -> (y_t [D, N], lad [1, N])``
+    where ``folded`` holds the mask-folded kernel-layout stacks
+    (wi/bi/wb/bb/wf/bf[, wci/bci/wcb/bcb]). The backward runs the
+    recompute-in-kernel Pallas pass and, with context, also produces the
+    context gradient.
+    """
+    wh_scale = (1.0 / math.sqrt(H)) if transformer == "rq" else None
+    common = dict(
+        layer_static=tuple(layer_static), transformer=transformer,
+        num_blocks=num_blocks, spline_kw=spline_kw, wh_scale=wh_scale,
+        lanes=lanes, interpret=interpret,
+    )
+
+    def _forward(w, x_t, ctx_t):
+        ctx_kw = {}
+        if has_context:
+            ctx_kw = dict(ctx_t=ctx_t, wci=w["wci"], bci=w["bci"],
+                          wcb=w["wcb"], bcb=w["bcb"])
+        return maf_flow_kernel_call(
+            x_t, w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
+            tuple(layer_static), inverse=False, num_blocks=num_blocks,
+            transformer=transformer, spline_kw=spline_kw,
+            wh_scale=wh_scale, lanes=lanes, interpret=interpret, **ctx_kw,
+        )
+
+    def _backward(w, x_t, ctx_t, gy_t, glad):
+        ctx_kw = {}
+        if has_context:
+            ctx_kw = dict(ctx_t=ctx_t, wci=w["wci"], bci=w["bci"],
+                          wcb=w["wcb"], bcb=w["bcb"])
+        outs = _bwd_call(
+            x_t, gy_t, glad,
+            w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
+            **common, **ctx_kw,
+        )
+        gx = outs[0]
+        gw = dict(zip(("wi", "bi", "wb", "bb", "wf", "bf"), outs[1:7]))
+        if not has_context:
+            return gw, gx, None
+        gctx = outs[7]
+        gw.update(zip(("wci", "bci", "wcb", "bcb"), outs[8:12]))
+        return gw, gx, gctx
+
+    if has_context:
+        @jax.custom_vjp
+        def apply(w, x_t, ctx_t):
+            return _forward(w, x_t, ctx_t)
+
+        def fwd(w, x_t, ctx_t):
+            return apply(w, x_t, ctx_t), (w, x_t, ctx_t)
+
+        def bwd(res, cot):
+            w, x_t, ctx_t = res
+            gy_t, glad = cot
+            return _backward(w, x_t, ctx_t, gy_t, glad)
+    else:
+        @jax.custom_vjp
+        def apply(w, x_t):
+            return _forward(w, x_t, None)
+
+        def fwd(w, x_t):
+            return apply(w, x_t), (w, x_t)
+
+        def bwd(res, cot):
+            w, x_t = res
+            gy_t, glad = cot
+            gw, gx, _ = _backward(w, x_t, None, gy_t, glad)
+            return gw, gx
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+class FusedMAFTrainer:
+    """Train a MAF / NSF-AR with fused Pallas forward+backward megakernels.
+
+        trainer = FusedMAFTrainer(flow, batch_size=512)
+        step = trainer.make_train_step(optax.adam(3e-4))
+        weights, opt_state = trainer.weights, trainer.init_opt(optimizer)
+        weights, opt_state, loss = step(weights, opt_state, batch)  # [N, D]
+        trained_flow = trainer.to_flow(weights)
+
+    The trainable pytree is the UNFOLDED fp32 kernel-layout weight dict
+    (masks and the RQ rescale applied per step / in-kernel), so Adam on it
+    follows the exact trajectory of Adam on the model's own parameters and
+    masked entries never move. Conditional flows take
+    ``step(weights, opt_state, batch, context)``.
+    """
+
+    def __init__(self, flow, batch_size, interpret=None):
+        from nflows_tpu.ops.pallas.maf_fused import _extract
+        from nflows_tpu.ops.pallas.rq_spline import pallas_available
+
+        if interpret is None:
+            interpret = not pallas_available()
+        (self._static, weights, self._num_blocks, self.features,
+         self._transformer, self._spline_kw, self.context_features,
+         self._masks) = _extract(
+            flow, jnp.float32, fold_masks=False, fold_wh_scale=False,
+            allow_wrapped=False, return_masks=True)
+        if (self.context_features is not None
+                and getattr(flow, "embedding_net", None) is not None):
+            raise ValueError(
+                "fused training takes the RAW context (identity embedding "
+                "only); flows with an embedding_net train on the XLA "
+                "chain, or compose maf_train_vjp_call(has_context=True) "
+                "with the embedding net yourself — its ctx gradient flows "
+                "through")
+        self.weights = weights
+        self._flow_template = flow
+        self.batch_size = int(batch_size)
+        if self.batch_size % 128:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of 128 (the "
+                "kernel lane width)")
+        self._lanes = max(c for c in range(128, 1025, 128)
+                          if self.batch_size % c == 0)
+        self._interpret = interpret
+        self._has_ctx = self.context_features is not None
+        L = len(self._static)
+        self._H = weights["wi"].shape[0] // L
+        self._apply = maf_train_vjp_call(
+            self._static, self._transformer, self._num_blocks,
+            self._spline_kw, self._H, self._lanes, interpret,
+            has_context=self._has_ctx)
+
+    # -- training ----------------------------------------------------------
+
+    def _fold(self, weights):
+        """Mask-fold in XLA (differentiable: the chain rule zeroes masked
+        gradients exactly like MaskedDense does)."""
+        folded = dict(weights)
+        for k in ("wi", "wb", "wf"):
+            folded[k] = weights[k] * self._masks[k]
+        return folded
+
+    def loss_fn(self, weights, batch_t, ctx_t=None):
+        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes) and,
+        for conditional flows, ``ctx_t`` is the [C, N] context."""
+        folded = self._fold(weights)
+        if self._has_ctx:
+            y_t, lad = self._apply(folded, batch_t, ctx_t)
+        else:
+            y_t, lad = self._apply(folded, batch_t)
+        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
+        lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
+        return -jnp.mean(lp)
+
+    def init_opt(self, optimizer):
+        return optimizer.init(self.weights)
+
+    def make_train_step(self, optimizer, donate=True):
+        import optax
+
+        def _update(weights, opt_state, batch, context):
+            batch_t = jnp.asarray(batch, jnp.float32).T
+            ctx_t = (None if context is None
+                     else jnp.asarray(context, jnp.float32).T)
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                weights, batch_t, ctx_t)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def step(weights, opt_state, batch, context):
+                return _update(weights, opt_state, batch, context)
+        else:
+            def step(weights, opt_state, batch):
+                return _update(weights, opt_state, batch, None)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def make_scan_train_step(self, optimizer):
+        """One dispatch = one ``lax.scan`` over ``batches``' leading axis.
+        Conditional flows scan over ``(batches, contexts)`` pairs."""
+        import optax
+
+        def one(carry, xs):
+            weights, opt_state = carry
+            if self._has_ctx:
+                batch, context = xs
+                args = (batch.T, context.T)
+            else:
+                args = (xs.T,)
+            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return (optax.apply_updates(weights, updates), opt_state), loss
+
+        if self._has_ctx:
+            def steps(weights, opt_state, batches, contexts):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), (batches, contexts))
+                return weights, opt_state, losses
+        else:
+            def steps(weights, opt_state, batches):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), batches)
+                return weights, opt_state, losses
+
+        return jax.jit(steps, donate_argnums=(0, 1))
+
+    # -- export ------------------------------------------------------------
+
+    def to_flow(self, weights=None):
+        """Write kernel-layout weights back into a standard flow (the
+        inverse of extraction: un-transpose + inverse param-major
+        reorder; masks stay the model's own buffers)."""
+        weights = self.weights if weights is None else weights
+        w = jax.device_get(weights)
+        flow = jax.device_get(self._flow_template)
+        ts = list(flow.transform.transforms)
+        L = len(self._static)
+        H = self._H
+        nb = 2 * self._num_blocks
+        P_rows = w["wf"].shape[0] // L
+        D = self.features
+        mult = P_rows // D
+        order = np.array(
+            [t * mult + j for j in range(mult) for t in range(D)])
+        inv_order = np.argsort(order)
+
+        def rows(a, i, r):
+            return a[i * r:(i + 1) * r]
+
+        for l in range(L):
+            ar = ts[2 * l + 1]
+            made = ar.autoregressive_net
+            blocks = []
+            for j, blk in enumerate(made.blocks):
+                repl = dict(
+                    linear_0=blk.linear_0.replace(
+                        weight=jnp.asarray(rows(w["wb"], l * nb + 2 * j,
+                                                H).T),
+                        bias=jnp.asarray(rows(w["bb"], l * nb + 2 * j,
+                                              H)[:, 0])),
+                    linear_1=blk.linear_1.replace(
+                        weight=jnp.asarray(rows(w["wb"], l * nb + 2 * j + 1,
+                                                H).T),
+                        bias=jnp.asarray(rows(w["bb"], l * nb + 2 * j + 1,
+                                              H)[:, 0])),
+                )
+                if self._has_ctx:
+                    r = l * self._num_blocks + j
+                    repl["context_layer"] = blk.context_layer.replace(
+                        weight=jnp.asarray(rows(w["wcb"], r, H).T),
+                        bias=jnp.asarray(rows(w["bcb"], r, H)[:, 0]))
+                blocks.append(blk.replace(**repl))
+            made_repl = dict(
+                initial_layer=made.initial_layer.replace(
+                    weight=jnp.asarray(rows(w["wi"], l, H).T),
+                    bias=jnp.asarray(rows(w["bi"], l, H)[:, 0])),
+                blocks=tuple(blocks),
+                final_layer=made.final_layer.replace(
+                    weight=jnp.asarray(rows(w["wf"], l, P_rows).T[:,
+                                                                  inv_order]),
+                    bias=jnp.asarray(
+                        rows(w["bf"], l, P_rows)[:, 0][inv_order])),
+            )
+            if self._has_ctx:
+                made_repl["context_layer"] = made.context_layer.replace(
+                    weight=jnp.asarray(rows(w["wci"], l, H).T),
+                    bias=jnp.asarray(rows(w["bci"], l, H)[:, 0]))
+            ts[2 * l + 1] = ar.replace(
+                autoregressive_net=made.replace(**made_repl))
+        new_transform = flow.transform.replace(transforms=tuple(ts))
+        return flow.replace(transform=new_transform)
