@@ -496,6 +496,77 @@ class FusedMAFTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
+    def make_dp_train_step(self, optimizer, mesh, data_axis="data",
+                           donate=True):
+        """Data-parallel fused AR training over a ``jax.sharding.Mesh``:
+        per-shard megakernels under ``shard_map``, gradients and loss
+        ``pmean``'d over ICI, replicated optimizer update — the AR
+        analogue of FusedNSFTrainer.make_dp_train_step. ``batch`` (and
+        ``context``, when conditional) is the GLOBAL [N, ...] array
+        sharded on its leading axis; weights/opt_state are replicated."""
+        import optax
+        from jax.sharding import PartitionSpec
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        n = mesh.shape[data_axis]
+        per_dev = self.batch_size // n
+        if self.batch_size % n or per_dev % 128:
+            raise ValueError(
+                f"global batch {self.batch_size} over {n} '{data_axis}' "
+                "devices must give a per-device batch that is a multiple "
+                "of 128")
+        P = PartitionSpec
+        lanes = max(c for c in range(128, 1025, 128) if per_dev % c == 0)
+        apply_local = maf_train_vjp_call(
+            self._static, self._transformer, self._num_blocks,
+            self._spline_kw, self._H, lanes, self._interpret,
+            has_context=self._has_ctx)
+        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
+
+        def local_loss(weights, batch_t, ctx_t):
+            folded = self._fold(weights)
+            if self._has_ctx:
+                y_t, lad = apply_local(folded, batch_t, ctx_t)
+            else:
+                y_t, lad = apply_local(folded, batch_t)
+            lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
+            return -jnp.mean(lp)
+
+        def _shard_update(weights, opt_state, batch, context):
+            ctx_t = None if context is None else context.T
+            loss, grads = jax.value_and_grad(local_loss)(
+                weights, batch.T, ctx_t)
+            # equal shards: global mean = pmean of per-shard means
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def shard_step(weights, opt_state, batch, context):
+                return _shard_update(weights, opt_state, batch, context)
+            in_specs = (P(), P(), P(data_axis), P(data_axis))
+        else:
+            def shard_step(weights, opt_state, batch):
+                return _shard_update(weights, opt_state, batch, None)
+            in_specs = (P(), P(), P(data_axis))
+
+        # pallas_call lacks the varying-across-mesh type the replication
+        # checker needs; replication is real (pmean'd grads) and pinned by
+        # tests/parallel/test_fused_dp.py
+        try:
+            sharded = shard_map(
+                shard_step, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P()), check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sharded = shard_map(
+                shard_step, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P()), check_rep=False)
+        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
     def make_scan_train_step(self, optimizer):
         """One dispatch = one ``lax.scan`` over ``batches``' leading axis.
         Conditional flows scan over ``(batches, contexts)`` pairs."""

@@ -57,3 +57,33 @@ def test_dp_rejects_misaligned_per_device_batch():
     tr = FusedNSFTrainer(_flow(), batch_size=512, interpret=True)
     with pytest.raises(ValueError, match="per-device"):
         tr.make_dp_train_step(optax.adam(1e-3), mesh)
+
+
+def test_maf_dp_step_equals_single_device():
+    """The AR trainer's DP step (per-shard megakernels, pmean'd grads)
+    must equal its single-device step on the same global batch."""
+    from jax.sharding import Mesh
+
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.ops.pallas.maf_train import FusedMAFTrainer
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    flow = MaskedAutoregressiveFlow(
+        features=5, hidden_features=16, num_layers=2,
+        num_blocks_per_layer=2, use_random_permutations=True,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    batch = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1024, 5)) * 1.5, jnp.float32)
+    opt = optax.adam(3e-4)
+
+    tr = FusedMAFTrainer(flow, batch_size=1024, interpret=True)
+    w0, s0 = tr.weights, tr.init_opt(opt)
+
+    w1, s1, loss1 = tr.make_train_step(opt, donate=False)(w0, s0, batch)
+    w2, s2, loss2 = tr.make_dp_train_step(opt, mesh, donate=False)(
+        w0, s0, batch)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for k in w1:
+        np.testing.assert_allclose(np.asarray(w1[k]), np.asarray(w2[k]),
+                                   atol=1e-6, err_msg=k)
