@@ -27,8 +27,10 @@ zero-gradient entry is exactly zero). For NSF-AR the RQ width/height
 Conditional flows train fused: the per-sample context rides the lanes and
 the backward emits gradients for the additive MADE context projections
 AND for the context itself. IAF (InverseTransform-wrapped) layers are
-rejected — their density direction is a D-step fixed point this kernel
-does not differentiate; train IAF with VI on the sampling direction.
+rejected by FusedMAFTrainer — their density direction is a D-step fixed
+point this kernel does not differentiate — and trained instead by
+``FusedIAFTrainer`` in their NATIVE sampling direction (single MADE pass
+per layer) with a variational reverse-KL objective.
 
 Reference math being differentiated:
 nflows/transforms/autoregressive.py:64-128 (affine AR, softplus scale),
@@ -54,7 +56,7 @@ from nflows_tpu.ops.pallas.maf_flow_kernel import (
 )
 from nflows_tpu.ops.pallas.nsf_flow_kernel import _rq_spline_TR, _take_rows
 
-__all__ = ["FusedMAFTrainer", "maf_train_vjp_call"]
+__all__ = ["FusedIAFTrainer", "FusedMAFTrainer", "maf_train_vjp_call"]
 
 
 def _dot_f32(a, b):
@@ -91,13 +93,22 @@ def _made_vals(xp, ws, num_blocks, ctx=None):
 
 
 def _make_layer_fn(ls, transformer, num_blocks, D, wh_scale, spline_kw,
-                   has_ctx=False):
-    """The differentiable log_prob-direction forward of ONE
-    [permutation, AR] layer: (x [D, R][, ctx [C, R]], *weights) ->
-    (y [D, R], lad_sum [1, R])."""
+                   has_ctx=False, direction="forward"):
+    """The differentiable single-MADE-pass application of ONE layer.
+
+    ``direction="forward"`` is the MAF log_prob direction of an unwrapped
+    [permutation, AR] layer: permute first, then MADE + elementwise
+    forward. ``direction="inverse"`` is the IAF SAMPLING direction of an
+    InverseTransform-wrapped layer (the chain's ``inverse``): MADE +
+    elementwise forward on the un-permuted input, then the inverse
+    permutation (matching maf_flow_kernel.py's inverse branch for
+    ``wrapped`` layers). Both are single passes — no fixed point.
+    Signature: (x [D, R][, ctx [C, R]], *weights) -> (y, lad_sum [1, R]).
+    """
 
     def body(x_full, ctx, ws):
-        xp = _take_rows(x_full, ls.perm_rows)
+        xp = (_take_rows(x_full, ls.perm_rows)
+              if direction == "forward" else x_full)
         P = _made_vals(xp, ws, num_blocks, ctx=ctx)
         if transformer == "affine":
             scale = jnp.logaddexp(P[:D], 0.0) + _EPSILON
@@ -108,6 +119,8 @@ def _make_layer_fn(ls, transformer, num_blocks, D, wh_scale, spline_kw,
                 KD2 = 2 * spline_kw["num_bins"] * D
                 P = jnp.concatenate([P[:KD2] * wh_scale, P[KD2:]], axis=0)
             y, lad = _rq_spline_TR(xp, P, T=D, inverse=False, **spline_kw)
+        if direction == "inverse":
+            y = _take_rows(y, ls.inv_perm_rows)
         return y, jnp.sum(lad, axis=0, keepdims=True)
 
     if has_ctx:
@@ -148,7 +161,7 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                 wi_v, bi_v, wb_v, bb_v, wf_v, bf_v,
                 wci_v, bci_v, wcb_v, bcb_v, dma_sems, *,
                 layer_static, transformer, num_blocks, D, H, P_rows,
-                spline_kw, wh_scale, has_context):
+                spline_kw, wh_scale, has_context, direction):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -175,7 +188,8 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
     L = len(layer_static)
     layer_fns = [
         _make_layer_fn(layer_static[l], transformer, num_blocks, D,
-                       wh_scale, spline_kw, has_ctx=has_context)
+                       wh_scale, spline_kw, has_ctx=has_context,
+                       direction=direction)
         for l in range(L)
     ]
     cvs = ((wci_v, bci_v, wcb_v, bcb_v) if has_context
@@ -187,13 +201,17 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                              bcb_v=cvs[3])
         for l in range(L)
     ]
+    # execution order: the chain's forward runs layers 0..L-1; its inverse
+    # (IAF sampling) runs L-1..0 (maf_flow_kernel.py's inverse branch)
+    exec_order = (tuple(range(L)) if direction == "forward"
+                  else tuple(range(L - 1, -1, -1)))
 
     # forward recompute, keeping only the per-layer INPUTS ([D, R] each)
     x = x_ref[...].astype(jnp.float32)
     ctx = ctx_ref[...].astype(jnp.float32) if has_context else None
-    xs = []
-    for l in range(L):
-        xs.append(x)
+    xs = {}
+    for l in exec_order:
+        xs[l] = x
         if has_context:
             x, _ = layer_fns[l](x, ctx, *all_ws[l])
         else:
@@ -204,7 +222,7 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
     glad = glad_ref[...].astype(jnp.float32)
     nb = 2 * num_blocks
     gctx = None
-    for l in range(L - 1, -1, -1):
+    for l in reversed(exec_order):
         if has_context:
             _, vjp = jax.vjp(layer_fns[l], xs[l], ctx, *all_ws[l])
             gx, gctx_l, *gws = vjp((gx, glad))
@@ -236,7 +254,7 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
 
 def _bwd_call(x_t, gy_t, glad, wi, bi, wb, bb, wf, bf, *,
               layer_static, transformer, num_blocks, spline_kw, wh_scale,
-              lanes, interpret,
+              lanes, interpret, direction="forward",
               ctx_t=None, wci=None, bci=None, wcb=None, bcb=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -263,7 +281,7 @@ def _bwd_call(x_t, gy_t, glad, wi, bi, wb, bb, wf, bf, *,
         layer_static=tuple(layer_static), transformer=transformer,
         num_blocks=num_blocks, D=D, H=H, P_rows=P_rows,
         spline_kw=dict(spline_kw or {}), wh_scale=wh_scale,
-        has_context=has_context,
+        has_context=has_context, direction=direction,
     )
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     tile = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -321,20 +339,23 @@ def _bwd_call(x_t, gy_t, glad, wi, bi, wb, bb, wf, bf, *,
 
 
 def maf_train_vjp_call(layer_static, transformer, num_blocks, spline_kw,
-                       H, lanes, interpret, has_context=False):
+                       H, lanes, interpret, has_context=False,
+                       direction="forward"):
     """Build the custom_vjp'd fused forward for AR training.
 
     Returns ``apply(folded, x_t[, ctx_t]) -> (y_t [D, N], lad [1, N])``
     where ``folded`` holds the mask-folded kernel-layout stacks
     (wi/bi/wb/bb/wf/bf[, wci/bci/wcb/bcb]). The backward runs the
     recompute-in-kernel Pallas pass and, with context, also produces the
-    context gradient.
+    context gradient. ``direction="forward"`` is the MAF log_prob
+    direction (unwrapped layers); ``direction="inverse"`` is the IAF
+    sampling direction (all-wrapped chains) — both single-MADE-pass.
     """
     wh_scale = (1.0 / math.sqrt(H)) if transformer == "rq" else None
     common = dict(
         layer_static=tuple(layer_static), transformer=transformer,
         num_blocks=num_blocks, spline_kw=spline_kw, wh_scale=wh_scale,
-        lanes=lanes, interpret=interpret,
+        lanes=lanes, interpret=interpret, direction=direction,
     )
 
     def _forward(w, x_t, ctx_t):
@@ -344,7 +365,8 @@ def maf_train_vjp_call(layer_static, transformer, num_blocks, spline_kw,
                           wcb=w["wcb"], bcb=w["bcb"])
         return maf_flow_kernel_call(
             x_t, w["wi"], w["bi"], w["wb"], w["bb"], w["wf"], w["bf"],
-            tuple(layer_static), inverse=False, num_blocks=num_blocks,
+            tuple(layer_static), inverse=(direction == "inverse"),
+            num_blocks=num_blocks,
             transformer=transformer, spline_kw=spline_kw,
             wh_scale=wh_scale, lanes=lanes, interpret=interpret, **ctx_kw,
         )
@@ -413,17 +435,25 @@ class FusedMAFTrainer:
     ``step(weights, opt_state, batch, context)``.
     """
 
+    _direction = "forward"   # IAF subclass trains the sampling direction
+
     def __init__(self, flow, batch_size, interpret=None):
         from nflows_tpu.ops.pallas.maf_fused import _extract
         from nflows_tpu.ops.pallas.rq_spline import pallas_available
 
         if interpret is None:
             interpret = not pallas_available()
+        wrapped_ok = self._direction == "inverse"
         (self._static, weights, self._num_blocks, self.features,
          self._transformer, self._spline_kw, self.context_features,
          self._masks) = _extract(
             flow, jnp.float32, fold_masks=False, fold_wh_scale=False,
-            allow_wrapped=False, return_masks=True)
+            allow_wrapped=wrapped_ok, return_masks=True)
+        if wrapped_ok and not all(ls.wrapped for ls in self._static):
+            raise ValueError(
+                "the IAF trainer requires an all-wrapped "
+                "(InverseTransform'd AR) chain; train plain MAF layers "
+                "with FusedMAFTrainer")
         if (self.context_features is not None
                 and getattr(flow, "embedding_net", None) is not None):
             raise ValueError(
@@ -448,7 +478,7 @@ class FusedMAFTrainer:
         self._apply = maf_train_vjp_call(
             self._static, self._transformer, self._num_blocks,
             self._spline_kw, self._H, self._lanes, interpret,
-            has_context=self._has_ctx)
+            has_context=self._has_ctx, direction=self._direction)
 
     # -- training ----------------------------------------------------------
 
@@ -523,7 +553,7 @@ class FusedMAFTrainer:
         apply_local = maf_train_vjp_call(
             self._static, self._transformer, self._num_blocks,
             self._spline_kw, self._H, lanes, self._interpret,
-            has_context=self._has_ctx)
+            has_context=self._has_ctx, direction=self._direction)
         log_z = 0.5 * self.features * math.log(2.0 * math.pi)
 
         def local_loss(weights, batch_t, ctx_t):
@@ -619,8 +649,13 @@ class FusedMAFTrainer:
         def rows(a, i, r):
             return a[i * r:(i + 1) * r]
 
+        from nflows_tpu.transforms.base import InverseTransform
+
         for l in range(L):
             ar = ts[2 * l + 1]
+            wrap = isinstance(ar, InverseTransform)
+            if wrap:
+                outer, ar = ar, ar.transform
             made = ar.autoregressive_net
             blocks = []
             for j, blk in enumerate(made.blocks):
@@ -657,7 +692,83 @@ class FusedMAFTrainer:
                 made_repl["context_layer"] = made.context_layer.replace(
                     weight=jnp.asarray(rows(w["wci"], l, H).T),
                     bias=jnp.asarray(rows(w["bci"], l, H)[:, 0]))
-            ts[2 * l + 1] = ar.replace(
+            rebuilt = ar.replace(
                 autoregressive_net=made.replace(**made_repl))
+            ts[2 * l + 1] = (outer.replace(transform=rebuilt) if wrap
+                             else rebuilt)
         new_transform = flow.transform.replace(transforms=tuple(ts))
         return flow.replace(transform=new_transform)
+
+
+class FusedIAFTrainer(FusedMAFTrainer):
+    """Train an IAF (all InverseTransform-wrapped AR layers) with fused
+    megakernels in its NATIVE direction: sampling.
+
+    An IAF's log_prob is a D-step fixed point (the reason FusedMAFTrainer
+    rejects it), but its sampling pass — base noise through
+    ``transform.inverse`` — is one MADE pass per layer. That is the
+    direction IAFs are built for: variational inference, where the loss
+    is the negative ELBO over the flow's own samples
+    (reverse KL; Kingma et al. 2016, reference-adjacent usage)::
+
+        trainer = FusedIAFTrainer(iaf, batch_size=512)
+        step = trainer.make_vi_train_step(optax.adam(1e-3),
+                                          target_log_prob)
+        weights, opt_state = trainer.weights, trainer.init_opt(opt)
+        weights, opt_state, elbo_loss = step(weights, opt_state, key)
+
+    ``target_log_prob`` is any jittable [N, D] -> [N] XLA function (an
+    unnormalized posterior); its gradient flows into the kernel through
+    the custom_vjp's sample cotangent. ``sample_and_log_prob_fn`` exposes
+    the fused (samples, log q) pair for custom objectives; the sign
+    convention matches ``Flow.sample_and_log_prob`` (flows/base.py:135:
+    ``log q = log N(z) - logabsdet_inverse``).
+    """
+
+    _direction = "inverse"
+
+    def sample_and_log_prob_fn(self, weights, z_t, ctx_t=None):
+        """(weights, z [D, N][, ctx [C, N]]) -> (x [D, N], log q [N])."""
+        folded = self._fold(weights)
+        if self._has_ctx:
+            x_t, lad = self._apply(folded, z_t, ctx_t)
+        else:
+            x_t, lad = self._apply(folded, z_t)
+        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
+        lq = -0.5 * jnp.sum(z_t * z_t, axis=0) - log_z - lad[0]
+        return x_t, lq
+
+    def loss_fn(self, weights, batch_t, ctx_t=None):
+        raise NotImplementedError(
+            "an IAF's log_prob direction is a fixed point; this trainer "
+            "optimizes the SAMPLING direction — use make_vi_train_step "
+            "(negative ELBO) or sample_and_log_prob_fn for a custom "
+            "objective")
+
+    def make_vi_train_step(self, optimizer, target_log_prob, donate=True):
+        """Reverse-KL step: minimize E_q[log q(x) - log p̃(x)] over the
+        flow's own samples. ``step(weights, opt_state, key[, context])``
+        draws a fresh ``batch_size`` base-noise batch per call."""
+        import optax
+
+        def vi_loss(weights, z_t, ctx_t):
+            x_t, lq = self.sample_and_log_prob_fn(weights, z_t, ctx_t)
+            return jnp.mean(lq - target_log_prob(x_t.T))
+
+        def _update(weights, opt_state, key, context):
+            z_t = jax.random.normal(
+                key, (self.features, self.batch_size), dtype=jnp.float32)
+            ctx_t = (None if context is None
+                     else jnp.asarray(context, jnp.float32).T)
+            loss, grads = jax.value_and_grad(vi_loss)(weights, z_t, ctx_t)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def step(weights, opt_state, key, context):
+                return _update(weights, opt_state, key, context)
+        else:
+            def step(weights, opt_state, key):
+                return _update(weights, opt_state, key, None)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
