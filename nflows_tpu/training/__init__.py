@@ -3,6 +3,7 @@ from nflows_tpu.training.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from nflows_tpu.training.fused import fused_trainer
 from nflows_tpu.training.loop import run_training
 from nflows_tpu.training.train import (
     TrainState,

@@ -1,0 +1,52 @@
+"""Auto-selection for the fused (megakernel) trainers.
+
+``fused_trainer(flow, batch_size)`` probes the flow's structure and
+returns the matching trainer — :class:`FusedNSFTrainer` for coupling
+chains (all seven kinds), :class:`FusedMAFTrainer` for unwrapped
+autoregressive chains (MAF / NSF-AR), :class:`FusedIAFTrainer` for
+all-wrapped chains (IAF; trains the sampling direction with
+``make_vi_train_step``) — mirroring ``serving.CompiledFlow``'s fused
+auto-select on the training side. Flows that match no kernel raise with
+each prober's reason (or return ``None`` with ``required=False``), in
+which case ``training.make_train_step`` (the XLA chain) is the path.
+"""
+
+from __future__ import annotations
+
+__all__ = ["fused_trainer"]
+
+
+def fused_trainer(flow, batch_size, interpret=None, required=True):
+    """Return the fused trainer matching ``flow``'s structure.
+
+    Args:
+        flow: a ``Flow`` over a StandardNormal base.
+        batch_size: training batch size (multiple of 128 — the kernel
+            lane width).
+        interpret: force the Pallas interpreter (None = auto: interpret
+            off-TPU, compiled on TPU).
+        required: when False, return ``None`` instead of raising if no
+            kernel matches (the caller falls back to the XLA chain).
+    """
+    from nflows_tpu.ops.pallas.maf_train import (
+        FusedIAFTrainer,
+        FusedMAFTrainer,
+    )
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+    if batch_size % 128:
+        raise ValueError(
+            f"batch_size={batch_size} must be a multiple of 128 (the "
+            "kernel lane width)")
+    errors = []
+    for cls in (FusedNSFTrainer, FusedMAFTrainer, FusedIAFTrainer):
+        try:
+            return cls(flow, batch_size=batch_size, interpret=interpret)
+        except (ValueError, AttributeError) as e:
+            errors.append(f"{cls.__name__}: {e}")
+    if not required:
+        return None
+    raise ValueError(
+        "this flow matches no fused training kernel — train it on the "
+        "XLA chain (training.make_train_step). Prober reasons:\n  "
+        + "\n  ".join(errors))
