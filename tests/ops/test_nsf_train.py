@@ -2,6 +2,8 @@
 gradients and the full Adam trajectory must equal the autodiff'd XLA
 chain on the model's own parameters."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -267,3 +269,56 @@ def test_embedding_net_flow_rejected():
     with_emb = base.replace(embedding_net=emb)
     with pytest.raises(ValueError, match="embedding"):
         FusedNSFTrainer(with_emb, batch_size=128, interpret=True)
+
+
+def test_embedding_net_composes_with_fused_apply():
+    """The documented escape hatch: nsf_train_vjp_call(has_context=True)
+    composed with an XLA embedding net — the net's parameters must get
+    the same gradients as the full XLA chain."""
+    from nflows_tpu.nn.nets import MLP
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+    from nflows_tpu.ops.pallas.nsf_train import nsf_train_vjp_call
+
+    flow = _flow(context_features=4, layers=2, hidden=16)
+    emb = MLP([3], [4], hidden_sizes=[8], key=jax.random.key(9))
+    indices, weights, static, features, _ = _extract(
+        flow, jnp.float32, fold_wh_scale=False)
+    apply = nsf_train_vjp_call(indices, static, 128, True,
+                               has_context=True)
+
+    x = _batch(21)
+    raw = jnp.asarray(np.random.default_rng(22).normal(size=(128, 3)),
+                      jnp.float32)
+    log_z = 0.5 * features * math.log(2.0 * math.pi)
+
+    def fused_loss(weights, emb):
+        ctx = emb(raw)                    # embedding net runs in XLA
+        y_t, lad = apply(weights, x.T, ctx.T)
+        lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
+        return -jnp.mean(lp)
+
+    g_w, g_emb = jax.grad(fused_loss, argnums=(0, 1))(weights, emb)
+
+    def xla_loss(params, rest, emb):
+        ctx = emb(raw)
+        return -combine(params, rest).log_prob(x, ctx).mean()
+
+    params, rest = partition(flow)
+    g_params, g_emb_xla = jax.grad(xla_loss, argnums=(0, 2))(
+        params, rest, emb)
+
+    # embedding-net gradients (flow through gctx) match the XLA chain
+    fl = jax.tree_util.tree_leaves(g_emb)
+    xl = jax.tree_util.tree_leaves(g_emb_xla)
+    assert len(fl) == len(xl) and fl
+    for a, b in zip(fl, xl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+    # and so do the kernel weights
+    grad_flow = combine(g_params, rest)
+    _, g_kernel, _, _, _ = _extract(grad_flow, jnp.float32,
+                                    fold_wh_scale=False)
+    for k in ("w0", "wf", "wc0", "wcb"):
+        np.testing.assert_allclose(np.asarray(g_w[k]),
+                                   np.asarray(g_kernel[k]), atol=2e-4,
+                                   err_msg=k)
