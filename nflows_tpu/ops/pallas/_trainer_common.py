@@ -1,0 +1,202 @@
+"""Shared machinery for the fused megakernel trainers.
+
+``FusedTrainerBase`` owns everything that is identical between the
+coupling trainer (nsf_train.FusedNSFTrainer) and the AR trainer
+(maf_train.FusedMAFTrainer): batch/lane-tile validation, the NLL loss on
+the fused apply, and the single-device / scan / data-parallel train
+steps. Subclasses provide two hooks:
+
+- ``_build_apply(lanes)`` — the custom_vjp'd fused forward for a given
+  lane tile (conditional signature when ``self._has_ctx``);
+- ``_fold(weights)`` — the differentiable per-step weight fold applied
+  before the kernel (identity for couplings; the MADE mask fold for AR).
+
+Centralizing the step builders exists for a concrete reason: the DP step
+builds its own per-shard apply, and a copy-pasted inline loss once let an
+IAF subclass silently train the wrong objective through the inherited DP
+path (caught in review). Here every step routes through ``self.loss_fn``
+or ``self._loss_from_apply`` so a subclass that redefines/forbids the
+loss changes every step at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FusedTrainerBase"]
+
+
+class FusedTrainerBase:
+    """Common train-step machinery; see nsf_train/maf_train for usage."""
+
+    # set by subclass __init__: weights, features, context_features,
+    # batch_size, _lanes, _interpret, _has_ctx
+
+    def _init_batching(self, batch_size):
+        self.batch_size = int(batch_size)
+        if self.batch_size % 128:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of 128 (the "
+                "kernel lane width)")
+        # lane tile: the largest multiple-of-128 divisor of batch_size that
+        # fits one grid step (<= 1024); the grid covers the rest
+        self._lanes = self._lane_tile(self.batch_size)
+
+    @staticmethod
+    def _lane_tile(n):
+        return max(c for c in range(128, 1025, 128) if n % c == 0)
+
+    # -- hooks -------------------------------------------------------------
+
+    def _build_apply(self, lanes):
+        raise NotImplementedError
+
+    def _fold(self, weights):
+        """Differentiable pre-kernel weight fold (identity by default)."""
+        return weights
+
+    # -- loss --------------------------------------------------------------
+
+    def _loss_from_apply(self, apply):
+        """-mean log_prob through a given fused apply."""
+        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
+
+        def loss(weights, batch_t, ctx_t=None):
+            folded = self._fold(weights)
+            if self._has_ctx:
+                y_t, lad = apply(folded, batch_t, ctx_t)
+            else:
+                y_t, lad = apply(folded, batch_t)
+            lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
+            return -jnp.mean(lp)
+
+        return loss
+
+    def loss_fn(self, weights, batch_t, ctx_t=None):
+        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes) and,
+        for conditional flows, ``ctx_t`` is the [C, N] context."""
+        return self._loss_from_apply(self._apply)(weights, batch_t, ctx_t)
+
+    def init_opt(self, optimizer):
+        return optimizer.init(self.weights)
+
+    # -- train steps -------------------------------------------------------
+
+    def make_train_step(self, optimizer, donate=True):
+        """Conditional flows take ``step(weights, opt_state, batch,
+        context)``; unconditional ones ``step(weights, opt_state, batch)``.
+        """
+        import optax
+
+        def _update(weights, opt_state, batch, context):
+            batch_t = jnp.asarray(batch, jnp.float32).T
+            ctx_t = (None if context is None
+                     else jnp.asarray(context, jnp.float32).T)
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                weights, batch_t, ctx_t)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def step(weights, opt_state, batch, context):
+                return _update(weights, opt_state, batch, context)
+        else:
+            def step(weights, opt_state, batch):
+                return _update(weights, opt_state, batch, None)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def make_dp_train_step(self, optimizer, mesh, data_axis="data",
+                           donate=True):
+        """Data-parallel fused training over a ``jax.sharding.Mesh``: each
+        device runs the forward+backward megakernels on its batch shard
+        (``shard_map``), gradients and loss are ``pmean``'d over ICI, and
+        the (replicated) optimizer update is applied identically
+        everywhere. ``batch`` (and ``context``, when conditional) is the
+        GLOBAL array, sharded on its leading axis; weights and opt_state
+        are replicated. Per-device batch must be a multiple of the
+        128-lane kernel tile.
+        """
+        import optax
+        from jax.sharding import PartitionSpec
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        n = mesh.shape[data_axis]
+        per_dev = self.batch_size // n
+        if self.batch_size % n or per_dev % 128:
+            raise ValueError(
+                f"global batch {self.batch_size} over {n} '{data_axis}' "
+                "devices must give a per-device batch that is a multiple "
+                "of 128")
+        P = PartitionSpec
+        local_loss = self._loss_from_apply(
+            self._build_apply(self._lane_tile(per_dev)))
+
+        def _shard_update(weights, opt_state, batch, context):
+            ctx_t = None if context is None else context.T
+            loss, grads = jax.value_and_grad(local_loss)(
+                weights, batch.T, ctx_t)
+            # equal shards: global mean = pmean of per-shard means
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return optax.apply_updates(weights, updates), opt_state, loss
+
+        if self._has_ctx:
+            def shard_step(weights, opt_state, batch, context):
+                return _shard_update(weights, opt_state, batch, context)
+            in_specs = (P(), P(), P(data_axis), P(data_axis))
+        else:
+            def shard_step(weights, opt_state, batch):
+                return _shard_update(weights, opt_state, batch, None)
+            in_specs = (P(), P(), P(data_axis))
+
+        # pallas_call does not carry the varying-across-mesh (vma) type
+        # shard_map's replication checker needs, so disable the check —
+        # replication is real here (pmean'd grads, identical updates) and
+        # pinned by tests/parallel/test_fused_dp.py
+        try:
+            sharded = shard_map(
+                shard_step, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P()), check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sharded = shard_map(
+                shard_step, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P()), check_rep=False)
+        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+    def make_scan_train_step(self, optimizer):
+        """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
+        the same scan-fused loop shape bench.py uses for the XLA path.
+        Conditional flows scan over ``(batches, contexts)`` pairs."""
+        import optax
+
+        def one(carry, xs):
+            weights, opt_state = carry
+            if self._has_ctx:
+                batch, context = xs
+                args = (batch.T, context.T)
+            else:
+                args = (xs.T,)
+            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
+            updates, opt_state = optimizer.update(grads, opt_state, weights)
+            return (optax.apply_updates(weights, updates), opt_state), loss
+
+        if self._has_ctx:
+            def steps(weights, opt_state, batches, contexts):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), (batches, contexts))
+                return weights, opt_state, losses
+        else:
+            def steps(weights, opt_state, batches):
+                (weights, opt_state), losses = jax.lax.scan(
+                    one, (weights, opt_state), batches)
+                return weights, opt_state, losses
+
+        return jax.jit(steps, donate_argnums=(0, 1))

@@ -14,7 +14,8 @@ reordered param-major (with the RQ width/height rescale folded in), and
 the result is a :class:`FusedMAF` with megakernel ``sample`` /
 ``log_prob`` / ``sample_and_log_prob`` / ``forward`` / ``inverse``.
 
-Inference-only (training uses the autodiff'd XLA chain); see
+Inference view; fused TRAINING lives in maf_train.py (this module's
+extraction serves both via fold_masks/fold_wh_scale). See
 benchmarks/bench_fused_maf.py for measured throughput.
 """
 
@@ -357,30 +358,10 @@ class FusedMAF:
         ctx_rep = shapeutils.repeat_rows(embedded, num_reps=num_samples)
         return noise, ctx_rep
 
-    def sample(self, key, num_samples, context=None):
-        if context is None:
-            self._check_context(None, num_samples)
-            noise = jax.random.normal(key, (num_samples, self.features))
-            samples, _ = self._apply(noise, inverse=True)
-            return samples
-        if self.context_features is None:
-            raise ValueError(
-                "this flow was fused without context support but a "
-                "context was passed")
-        embedded = self._embed(context)
-        noise, ctx_rep = self._conditional_noise(key, num_samples, embedded)
-        samples, _ = self._apply(noise, inverse=True,
-                                 embedded_context=ctx_rep)
-        return samples.reshape(context.shape[0], num_samples, self.features)
-
-    def sample_and_log_prob(self, key, num_samples, context=None):
-        if context is None:
-            self._check_context(None, num_samples)
-            noise = jax.random.normal(key, (num_samples, self.features))
-            samples, logabsdet = self._apply(noise, inverse=True)
-            log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
-                - 0.5 * self.features * np.log(2 * np.pi)
-            return samples, log_base - logabsdet
+    def _sample_conditional(self, key, num_samples, context):
+        """Shared conditional-sampling body: returns ([M, n, D] samples,
+        [M, n] log probs). Conditionality mismatch raises via
+        _check_context's wording (n = rows of the repeated context)."""
         if self.context_features is None:
             raise ValueError(
                 "this flow was fused without context support but a "
@@ -394,6 +375,24 @@ class FusedMAF:
         m = context.shape[0]
         return (samples.reshape(m, num_samples, self.features),
                 (log_base - logabsdet).reshape(m, num_samples))
+
+    def sample(self, key, num_samples, context=None):
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, _ = self._apply(noise, inverse=True)
+            return samples
+        return self._sample_conditional(key, num_samples, context)[0]
+
+    def sample_and_log_prob(self, key, num_samples, context=None):
+        if context is None:
+            self._check_context(None, num_samples)
+            noise = jax.random.normal(key, (num_samples, self.features))
+            samples, logabsdet = self._apply(noise, inverse=True)
+            log_base = -0.5 * jnp.sum(noise ** 2, axis=1) \
+                - 0.5 * self.features * np.log(2 * np.pi)
+            return samples, log_base - logabsdet
+        return self._sample_conditional(key, num_samples, context)
 
 
 def fuse_maf(flow, dtype=jnp.bfloat16, lanes: int = 2048,

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nflows_tpu.ops.pallas._trainer_common import FusedTrainerBase
 from nflows_tpu.ops.pallas.maf_flow_kernel import (
     _EPSILON,
     maf_flow_kernel_call,
@@ -419,7 +420,7 @@ def maf_train_vjp_call(layer_static, transformer, num_blocks, spline_kw,
     return apply
 
 
-class FusedMAFTrainer:
+class FusedMAFTrainer(FusedTrainerBase):
     """Train a MAF / NSF-AR with fused Pallas forward+backward megakernels.
 
         trainer = FusedMAFTrainer(flow, batch_size=512)
@@ -464,20 +465,17 @@ class FusedMAFTrainer:
                 "through")
         self.weights = weights
         self._flow_template = flow
-        self.batch_size = int(batch_size)
-        if self.batch_size % 128:
-            raise ValueError(
-                f"batch_size={batch_size} must be a multiple of 128 (the "
-                "kernel lane width)")
-        self._lanes = max(c for c in range(128, 1025, 128)
-                          if self.batch_size % c == 0)
         self._interpret = interpret
         self._has_ctx = self.context_features is not None
         L = len(self._static)
         self._H = weights["wi"].shape[0] // L
-        self._apply = maf_train_vjp_call(
+        self._init_batching(batch_size)
+        self._apply = self._build_apply(self._lanes)
+
+    def _build_apply(self, lanes):
+        return maf_train_vjp_call(
             self._static, self._transformer, self._num_blocks,
-            self._spline_kw, self._H, self._lanes, interpret,
+            self._spline_kw, self._H, lanes, self._interpret,
             has_context=self._has_ctx, direction=self._direction)
 
     # -- training ----------------------------------------------------------
@@ -489,142 +487,6 @@ class FusedMAFTrainer:
         for k in ("wi", "wb", "wf"):
             folded[k] = weights[k] * self._masks[k]
         return folded
-
-    def loss_fn(self, weights, batch_t, ctx_t=None):
-        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes) and,
-        for conditional flows, ``ctx_t`` is the [C, N] context."""
-        folded = self._fold(weights)
-        if self._has_ctx:
-            y_t, lad = self._apply(folded, batch_t, ctx_t)
-        else:
-            y_t, lad = self._apply(folded, batch_t)
-        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
-        lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
-        return -jnp.mean(lp)
-
-    def init_opt(self, optimizer):
-        return optimizer.init(self.weights)
-
-    def make_train_step(self, optimizer, donate=True):
-        import optax
-
-        def _update(weights, opt_state, batch, context):
-            batch_t = jnp.asarray(batch, jnp.float32).T
-            ctx_t = (None if context is None
-                     else jnp.asarray(context, jnp.float32).T)
-            loss, grads = jax.value_and_grad(self.loss_fn)(
-                weights, batch_t, ctx_t)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return optax.apply_updates(weights, updates), opt_state, loss
-
-        if self._has_ctx:
-            def step(weights, opt_state, batch, context):
-                return _update(weights, opt_state, batch, context)
-        else:
-            def step(weights, opt_state, batch):
-                return _update(weights, opt_state, batch, None)
-
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
-
-    def make_dp_train_step(self, optimizer, mesh, data_axis="data",
-                           donate=True):
-        """Data-parallel fused AR training over a ``jax.sharding.Mesh``:
-        per-shard megakernels under ``shard_map``, gradients and loss
-        ``pmean``'d over ICI, replicated optimizer update — the AR
-        analogue of FusedNSFTrainer.make_dp_train_step. ``batch`` (and
-        ``context``, when conditional) is the GLOBAL [N, ...] array
-        sharded on its leading axis; weights/opt_state are replicated."""
-        import optax
-        from jax.sharding import PartitionSpec
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        n = mesh.shape[data_axis]
-        per_dev = self.batch_size // n
-        if self.batch_size % n or per_dev % 128:
-            raise ValueError(
-                f"global batch {self.batch_size} over {n} '{data_axis}' "
-                "devices must give a per-device batch that is a multiple "
-                "of 128")
-        P = PartitionSpec
-        lanes = max(c for c in range(128, 1025, 128) if per_dev % c == 0)
-        apply_local = maf_train_vjp_call(
-            self._static, self._transformer, self._num_blocks,
-            self._spline_kw, self._H, lanes, self._interpret,
-            has_context=self._has_ctx, direction=self._direction)
-        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
-
-        def local_loss(weights, batch_t, ctx_t):
-            folded = self._fold(weights)
-            if self._has_ctx:
-                y_t, lad = apply_local(folded, batch_t, ctx_t)
-            else:
-                y_t, lad = apply_local(folded, batch_t)
-            lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
-            return -jnp.mean(lp)
-
-        def _shard_update(weights, opt_state, batch, context):
-            ctx_t = None if context is None else context.T
-            loss, grads = jax.value_and_grad(local_loss)(
-                weights, batch.T, ctx_t)
-            # equal shards: global mean = pmean of per-shard means
-            grads = jax.lax.pmean(grads, data_axis)
-            loss = jax.lax.pmean(loss, data_axis)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return optax.apply_updates(weights, updates), opt_state, loss
-
-        if self._has_ctx:
-            def shard_step(weights, opt_state, batch, context):
-                return _shard_update(weights, opt_state, batch, context)
-            in_specs = (P(), P(), P(data_axis), P(data_axis))
-        else:
-            def shard_step(weights, opt_state, batch):
-                return _shard_update(weights, opt_state, batch, None)
-            in_specs = (P(), P(), P(data_axis))
-
-        # pallas_call lacks the varying-across-mesh type the replication
-        # checker needs; replication is real (pmean'd grads) and pinned by
-        # tests/parallel/test_fused_dp.py
-        try:
-            sharded = shard_map(
-                shard_step, mesh=mesh, in_specs=in_specs,
-                out_specs=(P(), P(), P()), check_vma=False)
-        except TypeError:  # older jax spells it check_rep
-            sharded = shard_map(
-                shard_step, mesh=mesh, in_specs=in_specs,
-                out_specs=(P(), P(), P()), check_rep=False)
-        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
-
-    def make_scan_train_step(self, optimizer):
-        """One dispatch = one ``lax.scan`` over ``batches``' leading axis.
-        Conditional flows scan over ``(batches, contexts)`` pairs."""
-        import optax
-
-        def one(carry, xs):
-            weights, opt_state = carry
-            if self._has_ctx:
-                batch, context = xs
-                args = (batch.T, context.T)
-            else:
-                args = (xs.T,)
-            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return (optax.apply_updates(weights, updates), opt_state), loss
-
-        if self._has_ctx:
-            def steps(weights, opt_state, batches, contexts):
-                (weights, opt_state), losses = jax.lax.scan(
-                    one, (weights, opt_state), (batches, contexts))
-                return weights, opt_state, losses
-        else:
-            def steps(weights, opt_state, batches):
-                (weights, opt_state), losses = jax.lax.scan(
-                    one, (weights, opt_state), batches)
-                return weights, opt_state, losses
-
-        return jax.jit(steps, donate_argnums=(0, 1))
 
     # -- export ------------------------------------------------------------
 
@@ -738,7 +600,10 @@ class FusedIAFTrainer(FusedMAFTrainer):
         lq = -0.5 * jnp.sum(z_t * z_t, axis=0) - log_z - lad[0]
         return x_t, lq
 
-    def loss_fn(self, weights, batch_t, ctx_t=None):
+    def _loss_from_apply(self, apply):
+        # covers loss_fn AND every inherited step builder (single-device,
+        # scan, DP) — each routes through this hook, so none can silently
+        # optimize the (unavailable) density direction
         raise NotImplementedError(
             "an IAF's log_prob direction is a fixed point; this trainer "
             "optimizes the SAMPLING direction — use make_vi_train_step "

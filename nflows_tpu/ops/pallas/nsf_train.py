@@ -56,6 +56,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas._trainer_common import FusedTrainerBase
 from nflows_tpu.ops.pallas.nsf_flow_kernel import (
     _SPLINES_TR,
     _take_rows,
@@ -481,7 +482,7 @@ def nsf_train_vjp_call(indices, static, lanes, interpret,
     return apply
 
 
-class FusedNSFTrainer:
+class FusedNSFTrainer(FusedTrainerBase):
     """Train a tabular NSF with fused Pallas forward+backward megakernels.
 
         trainer = FusedNSFTrainer(flow, batch_size=512)
@@ -515,170 +516,17 @@ class FusedNSFTrainer:
                 "through")
         self.weights = weights
         self._flow_template = flow
-        self.batch_size = int(batch_size)
-        if self.batch_size % 128:
-            raise ValueError(
-                f"batch_size={batch_size} must be a multiple of 128 (the "
-                "kernel lane width)")
-        # lane tile: the largest multiple-of-128 divisor of batch_size that
-        # fits one grid step (<= 1024); the grid covers the rest
-        self._lanes = max(c for c in range(128, 1025, 128)
-                          if self.batch_size % c == 0)
         self._interpret = interpret
         self._has_ctx = self.context_features is not None
-        self._apply = nsf_train_vjp_call(
-            self._indices, self._static, self._lanes, interpret,
-            has_context=self._has_ctx)
+        self._init_batching(batch_size)
+        self._apply = self._build_apply(self._lanes)
 
-    # -- training ----------------------------------------------------------
+    # -- training (steps/loss inherited from FusedTrainerBase) -------------
 
-    def loss_fn(self, weights, batch_t, ctx_t=None):
-        """-mean log_prob; ``batch_t`` is [D, N] (samples on lanes) and,
-        for conditional flows, ``ctx_t`` is the [C, N] context."""
-        if self._has_ctx:
-            y_t, lad = self._apply(weights, batch_t, ctx_t)
-        else:
-            y_t, lad = self._apply(weights, batch_t)
-        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
-        lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
-        return -jnp.mean(lp)
-
-    def init_opt(self, optimizer):
-        return optimizer.init(self.weights)
-
-    def make_train_step(self, optimizer, donate=True):
-        """Conditional flows take ``step(weights, opt_state, batch,
-        context)``; unconditional ones ``step(weights, opt_state, batch)``.
-        """
-        import optax
-
-        def _update(weights, opt_state, batch, context):
-            batch_t = jnp.asarray(batch, jnp.float32).T
-            ctx_t = (None if context is None
-                     else jnp.asarray(context, jnp.float32).T)
-            loss, grads = jax.value_and_grad(self.loss_fn)(
-                weights, batch_t, ctx_t)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return optax.apply_updates(weights, updates), opt_state, loss
-
-        if self._has_ctx:
-            def step(weights, opt_state, batch, context):
-                return _update(weights, opt_state, batch, context)
-        else:
-            def step(weights, opt_state, batch):
-                return _update(weights, opt_state, batch, None)
-
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
-
-    def make_dp_train_step(self, optimizer, mesh, data_axis="data",
-                           donate=True):
-        """Data-parallel fused training over a ``jax.sharding.Mesh``: each
-        device runs the forward+backward megakernels on its batch shard
-        (``shard_map``), gradients and loss are ``pmean``'d over ICI, and
-        the (replicated) optimizer update is applied identically
-        everywhere — the fused-trainer analogue of
-        ``parallel.train.make_sharded_train_step``. ``batch`` is the
-        GLOBAL [N, D] batch, sharded on its leading axis; weights and
-        opt_state are replicated. Per-device batch must be a multiple of
-        the 128-lane kernel tile.
-        """
-        import optax
-        from jax.sharding import PartitionSpec
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        n = mesh.shape[data_axis]
-        per_dev = self.batch_size // n
-        if self.batch_size % n or per_dev % 128:
-            raise ValueError(
-                f"global batch {self.batch_size} over {n} '{data_axis}' "
-                "devices must give a per-device batch that is a multiple "
-                "of 128")
-        P = PartitionSpec
-        lanes = max(c for c in range(128, 1025, 128) if per_dev % c == 0)
-        apply_local = nsf_train_vjp_call(
+    def _build_apply(self, lanes):
+        return nsf_train_vjp_call(
             self._indices, self._static, lanes, self._interpret,
             has_context=self._has_ctx)
-        log_z = 0.5 * self.features * math.log(2.0 * math.pi)
-
-        def local_loss(weights, batch_t, ctx_t):
-            if self._has_ctx:
-                y_t, lad = apply_local(weights, batch_t, ctx_t)
-            else:
-                y_t, lad = apply_local(weights, batch_t)
-            lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
-            return -jnp.mean(lp)
-
-        def _shard_update(weights, opt_state, batch, context):
-            ctx_t = None if context is None else context.T
-            loss, grads = jax.value_and_grad(local_loss)(
-                weights, batch.T, ctx_t)
-            # equal shards: global mean = pmean of per-shard means
-            grads = jax.lax.pmean(grads, data_axis)
-            loss = jax.lax.pmean(loss, data_axis)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return optax.apply_updates(weights, updates), opt_state, loss
-
-        if self._has_ctx:
-            def shard_step(weights, opt_state, batch, context):
-                return _shard_update(weights, opt_state, batch, context)
-            in_specs = (P(), P(), P(data_axis), P(data_axis))
-        else:
-            def shard_step(weights, opt_state, batch):
-                return _shard_update(weights, opt_state, batch, None)
-            in_specs = (P(), P(), P(data_axis))
-
-        # pallas_call does not carry the varying-across-mesh (vma) type
-        # shard_map's replication checker needs, so disable the check —
-        # replication is real here (pmean'd grads, identical updates) and
-        # pinned by tests/parallel/test_fused_dp.py
-        try:
-            sharded = shard_map(
-                shard_step, mesh=mesh,
-                in_specs=in_specs,
-                out_specs=(P(), P(), P()),
-                check_vma=False,
-            )
-        except TypeError:  # older jax spells it check_rep
-            sharded = shard_map(
-                shard_step, mesh=mesh,
-                in_specs=in_specs,
-                out_specs=(P(), P(), P()),
-                check_rep=False,
-            )
-        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
-
-    def make_scan_train_step(self, optimizer):
-        """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
-        the same scan-fused loop shape bench.py uses for the XLA path.
-        Conditional flows scan over ``(batches, contexts)`` pairs."""
-        import optax
-
-        def one(carry, xs):
-            weights, opt_state = carry
-            if self._has_ctx:
-                batch, context = xs
-                args = (batch.T, context.T)
-            else:
-                args = (xs.T,)
-            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
-            updates, opt_state = optimizer.update(grads, opt_state, weights)
-            return (optax.apply_updates(weights, updates), opt_state), loss
-
-        if self._has_ctx:
-            def steps(weights, opt_state, batches, contexts):
-                (weights, opt_state), losses = jax.lax.scan(
-                    one, (weights, opt_state), (batches, contexts))
-                return weights, opt_state, losses
-        else:
-            def steps(weights, opt_state, batches):
-                (weights, opt_state), losses = jax.lax.scan(
-                    one, (weights, opt_state), batches)
-                return weights, opt_state, losses
-
-        return jax.jit(steps, donate_argnums=(0, 1))
 
     # -- export ------------------------------------------------------------
 

@@ -340,3 +340,17 @@ def test_iaf_trainer_log_prob_direction_unavailable():
     tr = FusedIAFTrainer(_iaf(), batch_size=128, interpret=True)
     with pytest.raises(NotImplementedError, match="SAMPLING"):
         tr.loss_fn(tr.weights, jnp.zeros((4, 128)))
+
+
+def test_iaf_trainer_dp_step_unavailable():
+    """Regression (review finding): the inherited DP step must NOT
+    silently train the density-direction NLL on an IAF — every inherited
+    step builder routes through _loss_from_apply, which raises."""
+    from jax.sharding import Mesh
+
+    from nflows_tpu.ops.pallas.maf_train import FusedIAFTrainer
+
+    tr = FusedIAFTrainer(_iaf(), batch_size=1024, interpret=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with pytest.raises(NotImplementedError, match="SAMPLING"):
+        tr.make_dp_train_step(optax.adam(1e-3), mesh)
