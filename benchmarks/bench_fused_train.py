@@ -31,6 +31,10 @@ def main():
     p.add_argument("--inner", type=int, default=100,
                    help="train steps per dispatch (lax.scan window)")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--matmul-precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32"],
+                   help="jax_default_matmul_precision for BOTH paths "
+                        "(bench.py's headline uses bfloat16)")
     p.add_argument("--family", choices=["nsf", "maf"], default="nsf",
                    help="nsf = stacked coupling flow (FusedNSFTrainer); "
                         "maf = masked-affine AR flow (FusedMAFTrainer)")
@@ -39,6 +43,14 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.matmul_precision:
+        # bench.py's production config: DEFAULT-precision f32 dots lower as
+        # bf16 MXU passes — applies to the XLA chain AND the Pallas
+        # kernels' dot_generals (precision resolves from this config at
+        # trace time), keeping the comparison apples-to-apples
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     from benchmarks._timing import timeit_calls
     from nflows_tpu.flows import MaskedAutoregressiveFlow
