@@ -65,3 +65,40 @@ def test_bad_batch_size():
                             rng=np.random.default_rng(0))
     with pytest.raises(ValueError, match="128"):
         fused_trainer(flow, batch_size=100, interpret=True)
+
+
+def test_fused_trainer_state_checkpoints(tmp_path):
+    """The fused trainers' (weights, opt_state) are plain pytrees; a
+    save/restore mid-training must continue exactly where an
+    uninterrupted run lands (the fused analogue of TrainState resume)."""
+    import jax.numpy as jnp
+    import optax
+
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.training import restore_checkpoint, save_checkpoint
+
+    flow = NeuralSplineFlow(features=4, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    tr = fused_trainer(flow, batch_size=128, interpret=True)
+    opt = optax.adam(1e-2)
+    step = tr.make_train_step(opt, donate=False)
+
+    def batch(i):
+        return jnp.asarray(
+            np.random.default_rng(i).normal(size=(128, 4)), jnp.float32)
+
+    w, s = tr.weights, tr.init_opt(opt)
+    w, s, _ = step(w, s, batch(0))
+    save_checkpoint(str(tmp_path / "ckpt"), {"weights": w, "opt_state": s})
+    w, s, _ = step(w, s, batch(1))
+    loss_uninterrupted = float(step(w, s, batch(2))[2])
+
+    restored = restore_checkpoint(str(tmp_path / "ckpt"),
+                                  {"weights": tr.weights,
+                                   "opt_state": tr.init_opt(opt)})
+    w2, s2 = restored["weights"], restored["opt_state"]
+    w2, s2, _ = step(w2, s2, batch(1))
+    loss_resumed = float(step(w2, s2, batch(2))[2])
+    assert loss_uninterrupted == loss_resumed
