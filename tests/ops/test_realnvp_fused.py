@@ -109,11 +109,13 @@ def test_batchnorm_between_layers_not_fusable():
     assert not can_fuse_nsf(flow)
 
 
-def test_fused_training_rejects_affine():
+def test_fused_training_accepts_affine():
+    # round-3 session 2: affine couplings TRAIN fused now (full
+    # loss/grad/trajectory coverage in tests/ops/test_nsf_train_families.py)
     from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
 
-    with pytest.raises(ValueError, match="affine"):
-        FusedNSFTrainer(_flow(), batch_size=128, interpret=True)
+    tr = FusedNSFTrainer(_flow(), batch_size=128, interpret=True)
+    assert tr._static["spline"] in ("affine", "additive")
 
 
 def test_serving_autoselects_fused_realnvp():

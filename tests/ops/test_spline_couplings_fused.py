@@ -95,8 +95,10 @@ def test_fused_round_trip(family):
     np.testing.assert_allclose(np.asarray(lad_f + lad_i), 0.0, atol=1e-3)
 
 
-def test_fused_training_rejects_new_families():
+def test_fused_training_accepts_new_families():
+    # round-3 session 2: every coupling family TRAINS fused (full
+    # loss/grad/trajectory coverage in tests/ops/test_nsf_train_families.py)
     from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
 
-    with pytest.raises(ValueError, match="XLA chain"):
-        FusedNSFTrainer(_flow("quadratic"), batch_size=128, interpret=True)
+    tr = FusedNSFTrainer(_flow("quadratic"), batch_size=128, interpret=True)
+    assert tr._static["spline"] == "quadratic"
