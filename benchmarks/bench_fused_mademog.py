@@ -7,7 +7,6 @@ inputs per rep).
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
@@ -44,22 +43,17 @@ def main():
     print(f"# numerics: log_prob max err {err:.2e} (bf16 GEMMs)",
           flush=True)
 
-    xs = [jnp.asarray(rng.normal(size=(args.n, args.features)), jnp.float32)
+    from benchmarks._timing import timeit_calls
+
+    xs = [(jnp.asarray(rng.normal(size=(args.n, args.features)),
+                       jnp.float32),)
           for _ in range(args.reps + 1)]
 
-    def timed(fn):
-        def drain(out):
-            return float(out[0])
-        drain(fn(xs[-1]))
-        best = float("inf")
-        for x in xs[:-1]:
-            t0 = time.perf_counter()
-            drain(fn(x))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def drain(out):
+        return float(out[0])
 
-    t_x = timed(xla)
-    t_f = timed(fused.log_prob)
+    t_x = timeit_calls(xla, xs, drain)
+    t_f = timeit_calls(fused.log_prob, xs, drain)
     print(f"log_prob: XLA {args.n/t_x/1e6:.2f} M/s ({t_x*1e3:.1f} ms)  "
           f"fused {args.n/t_f/1e6:.2f} M/s ({t_f*1e3:.1f} ms)  "
           f"speedup {t_x/t_f:.2f}x", flush=True)

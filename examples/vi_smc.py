@@ -97,14 +97,13 @@ def main():
     vstep = tr.make_vi_train_step(optax.adam(2e-3), target_log_prob,
                                   donate=False)
     w, s = tr.weights, tr.init_opt(optax.adam(2e-3))
-    first = last = None
+    losses = []
     for i in range(vi_steps):
         w, s, loss = vstep(w, s, jax.random.key(30_000 + i))
-        if i == 0:
-            first = float(loss)
-    last = float(loss)
-    print(f"fused IAF VI: -ELBO {first:.3f} -> {last:.3f} "
-          f"({vi_steps} megakernel steps)")
+        losses.append(float(loss))
+    if losses:
+        print(f"fused IAF VI: -ELBO {losses[0]:.3f} -> {losses[-1]:.3f} "
+              f"({vi_steps} megakernel steps)")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,10 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas._kernel_common import (
+    start_weight_dmas,
+    wait_dmas,
+)
 from nflows_tpu.ops.pallas.nsf_flow_kernel import _rq_spline_TR
 
 __all__ = ["maf_flow_kernel_call", "MAFLayerStatic"]
@@ -108,14 +112,7 @@ def _kernel(x_ref, ctx_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
         if has_context:
             pairs += [(wci_hbm, wci_v), (bci_hbm, bci_v),
                       (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
-        dmas = [
-            pltpu.make_async_copy(src, dst, dma_sems.at[i])
-            for i, (src, dst) in enumerate(pairs)
-        ]
-        for dma in dmas:
-            dma.start()
-        for dma in dmas:
-            dma.wait()
+        wait_dmas(start_weight_dmas(pairs, dma_sems))
 
     L = len(layer_static)
     nb = 2 * num_blocks

@@ -50,6 +50,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nflows_tpu.ops.pallas._kernel_common import (
+    start_weight_dmas,
+    wait_dmas,
+)
 from nflows_tpu.ops.pallas._trainer_common import FusedTrainerBase
 from nflows_tpu.ops.pallas.maf_flow_kernel import (
     _EPSILON,
@@ -173,18 +177,12 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
         if has_context:
             pairs += [(wci_hbm, wci_v), (bci_hbm, bci_v),
                       (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
-        dmas = [
-            pltpu.make_async_copy(src, dst, dma_sems.at[i])
-            for i, (src, dst) in enumerate(pairs)
-        ]
-        for dma in dmas:
-            dma.start()
+        dmas = start_weight_dmas(pairs, dma_sems)
         # zero the cross-tile gradient accumulators while the DMAs fly
         for ref in (gwi_ref, gbi_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
                     gwci_ref, gbci_ref, gwcb_ref, gbcb_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
-        for dma in dmas:
-            dma.wait()
+        wait_dmas(dmas)
 
     L = len(layer_static)
     layer_fns = [

@@ -53,6 +53,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas._kernel_common import (
+    start_weight_dmas,
+    wait_dmas,
+)
+
 __all__ = ["nsf_flow_kernel_call", "LANES_DEFAULT"]
 
 LANES_DEFAULT = 1024  # samples per grid tile
@@ -769,14 +774,7 @@ def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
                  (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
         if has_context:
             pairs += [(wc0_hbm, wc0_v), (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
-        dmas = [
-            pltpu.make_async_copy(src, dst, dma_sems.at[i])
-            for i, (src, dst) in enumerate(pairs)
-        ]
-        for dma in dmas:
-            dma.start()
-        for dma in dmas:
-            dma.wait()
+        wait_dmas(start_weight_dmas(pairs, dma_sems))
 
     L = len(layer_indices)
     x = x_ref[...].astype(jnp.float32)      # [D, R]

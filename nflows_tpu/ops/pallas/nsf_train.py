@@ -56,6 +56,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nflows_tpu.ops.pallas._kernel_common import (
+    start_weight_dmas,
+    wait_dmas,
+)
 from nflows_tpu.ops.pallas._trainer_common import FusedTrainerBase
 from nflows_tpu.ops.pallas.nsf_flow_kernel import (
     _SPLINES_TR,
@@ -172,18 +176,12 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                  (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
         if has_context:
             pairs += [(wc0_hbm, wc0_v), (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
-        dmas = [
-            pltpu.make_async_copy(src, dst, dma_sems.at[i])
-            for i, (src, dst) in enumerate(pairs)
-        ]
-        for dma in dmas:
-            dma.start()
+        dmas = start_weight_dmas(pairs, dma_sems)
         # zero the cross-tile gradient accumulators while the DMAs fly
         for ref in (gw0_ref, gb0_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
                     gwc0_ref, gwcb_ref, gbcb_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
-        for dma in dmas:
-            dma.wait()
+        wait_dmas(dmas)
 
     L = len(layer_indices)
     layer_fns = [
