@@ -21,8 +21,9 @@ layers) streams through HBM. This kernel runs the WHOLE chain in one
 - permutations are static row gathers, composed host-side.
 
 Forward (log_prob direction, one MADE pass per layer) is fused too.
-Extraction/validation and the user-facing wrapper live in ``maf_fused.py``.
-Inference-only: training uses the autodiff'd XLA chain.
+Extraction/validation and the user-facing wrapper live in ``maf_fused.py``;
+fused TRAINING (forward here + a recompute-in-kernel backward) lives in
+``maf_train.py``.
 
 Reference semantics: nflows/transforms/autoregressive.py:64-128 (affine
 AR, softplus scale + eps), nflows/transforms/made.py (masked nets).
