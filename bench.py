@@ -21,14 +21,34 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import signal
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_STEPS_PER_S = 3.661  # reference torch-CPU, same config, this host
 
+# A healthy run (compile + 5 windows + fetches) completes in ~2-3 min on
+# the TPU. A wedged device tunnel hangs ops indefinitely (observed: a
+# stuck remote compile blocks every subsequent op for 10+ hours), so fail
+# fast and loud instead of eating the caller's whole time budget. stderr
+# only — stdout stays reserved for the single JSON result line.
+DEADLINE_S = 900
+
+
+def _deadline(signum, frame):
+    print(
+        "bench.py: exceeded %ds deadline — device backend is likely "
+        "wedged (no result produced)" % DEADLINE_S,
+        file=sys.stderr, flush=True,
+    )
+    sys.exit(3)
+
 
 def main():
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(DEADLINE_S)
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,6 +94,7 @@ def main():
     float(losses[-1])
     dt = time.perf_counter() - t0
 
+    signal.alarm(0)
     steps_per_s = OUTER * INNER / dt
     print(json.dumps({
         "metric": "rq_nsf_coupling_train_steps_per_s(features=6,hidden=256,layers=10,batch=512)",
