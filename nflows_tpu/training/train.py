@@ -100,6 +100,7 @@ def make_scan_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable = nll_loss,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build ``steps(state, batches, key=None) -> (new_state, metrics)``
     running one ``lax.scan`` over a leading minibatch axis: ``batches`` is
@@ -107,7 +108,10 @@ def make_scan_train_step(
     per-step host dispatch, the standard TPU train-loop-in-jit pattern.
     Returns per-step losses [num_steps]. Pass ``key`` to activate dropout
     (each scanned step folds the step counter into it, same stream contract
-    as make_train_step's ``key``).
+    as make_train_step's ``key``). ``remat=True`` checkpoints each step's
+    loss (same trade as make_train_step's flag: recompute activations in
+    the backward instead of storing them — for deep flows whose per-step
+    residuals would not fit HBM at large batch).
     """
 
     def steps(state: TrainState, batches, key=None):
@@ -121,6 +125,8 @@ def make_scan_train_step(
                 with stochastic(jax.random.fold_in(key, state.step)):
                     return loss_fn(flow, batch, None)
 
+            if remat:
+                compute_loss = jax.checkpoint(compute_loss)
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             updates, new_opt_state = optimizer.update(
                 grads, state.opt_state, state.params)

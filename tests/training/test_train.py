@@ -111,3 +111,30 @@ def test_scan_train_step_dropout_key():
     assert np.all(np.isfinite(np.asarray(losses_key)))
     # dropout active -> different losses than the eval-mode path
     assert not np.allclose(np.asarray(losses_nokey), np.asarray(losses_key))
+
+
+def test_scan_train_step_remat_matches():
+    """remat=True recomputes instead of storing residuals; numerics are
+    identical to the plain scan step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nflows_tpu.flows import SimpleRealNVP
+    from nflows_tpu.training import create_train_state
+    from nflows_tpu.training.train import make_scan_train_step
+
+    flow = SimpleRealNVP(features=2, hidden_features=16, num_layers=2,
+                         num_blocks_per_layer=1, key=jax.random.key(0))
+    opt = optax.adam(1e-3)
+    W = jnp.asarray(np.random.default_rng(0).normal(size=(3, 64, 2)),
+                    dtype=jnp.float32)
+
+    state = create_train_state(flow, opt)
+    _, losses_plain = make_scan_train_step(opt, donate=False)(state, W)
+    state = create_train_state(flow, opt)
+    _, losses_remat = make_scan_train_step(
+        opt, donate=False, remat=True)(state, W)
+    np.testing.assert_allclose(np.asarray(losses_plain),
+                               np.asarray(losses_remat), rtol=1e-6)
