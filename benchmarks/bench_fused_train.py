@@ -104,14 +104,14 @@ def main():
 
         # ---- fused megakernel trainer ----
         trainer = trainer_cls(flow_for(), batch_size=batch)
-        fused_steps = trainer.make_scan_train_step(opt)
+        # donate=False for the same reason as the XLA path: the timed reps
+        # restart from the same initial state, so its buffers must survive
+        fused_steps = trainer.make_scan_train_step(opt, donate=False)
         weights = trainer.weights
         opt_state = trainer.init_opt(opt)
 
         def run_fused(w):
-            return fused_steps(
-                jax.tree_util.tree_map(jnp.copy, weights),
-                jax.tree_util.tree_map(jnp.copy, opt_state), w)
+            return fused_steps(weights, opt_state, w)
 
         def drain_fused(out):
             _, _, losses = out

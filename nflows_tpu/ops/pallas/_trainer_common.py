@@ -67,8 +67,18 @@ class FusedTrainerBase:
         def loss(weights, batch_t, ctx_t=None):
             folded = self._fold(weights)
             if self._has_ctx:
+                if ctx_t is None:
+                    raise ValueError(
+                        "this trainer wraps a conditional flow "
+                        f"(context_features={self.context_features}); "
+                        "pass ctx_t=[C, N] — omitting it would silently "
+                        "drop the context weights from the kernel")
                 y_t, lad = apply(folded, batch_t, ctx_t)
             else:
+                if ctx_t is not None:
+                    raise ValueError(
+                        "this trainer wraps an unconditional flow; "
+                        "got an unexpected ctx_t")
                 y_t, lad = apply(folded, batch_t)
             lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
             return -jnp.mean(lp)
@@ -171,10 +181,12 @@ class FusedTrainerBase:
                 out_specs=(P(), P(), P()), check_rep=False)
         return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
-    def make_scan_train_step(self, optimizer):
+    def make_scan_train_step(self, optimizer, donate=True):
         """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
         the same scan-fused loop shape bench.py uses for the XLA path.
-        Conditional flows scan over ``(batches, contexts)`` pairs."""
+        Conditional flows scan over ``(batches, contexts)`` pairs.
+        ``donate=False`` keeps the caller's weights/opt_state buffers alive
+        (e.g. when re-timing from the same initial state)."""
         import optax
 
         def one(carry, xs):
@@ -199,4 +211,4 @@ class FusedTrainerBase:
                     one, (weights, opt_state), batches)
                 return weights, opt_state, losses
 
-        return jax.jit(steps, donate_argnums=(0, 1))
+        return jax.jit(steps, donate_argnums=(0, 1) if donate else ())

@@ -33,14 +33,19 @@ __all__ = ["FusedMADEMoG", "fuse_mademog", "can_fuse_mademog"]
 
 
 def can_fuse_mademog(dist) -> bool:
+    """Structural qualification only — no weight transfer (a device_get
+    through a remote-TPU tunnel just to answer a boolean would be the
+    pathology nsf_fused._extract's layout comment warns about)."""
     try:
-        _extract(dist, jnp.float32)
+        _validate(dist)
         return True
     except (ValueError, AttributeError):
         return False
 
 
-def _extract(dist, dtype):
+def _validate(dist):
+    """Check the model qualifies for the kernel; return the MADE (still
+    on device). Raises ValueError with the disqualifying reason."""
     from nflows_tpu.distributions.mixture import MADEMoG
     from nflows_tpu.nn.made import MaskedResidualBlock
     from nflows_tpu.nn.nde.made import MixtureOfGaussiansMADE
@@ -61,8 +66,11 @@ def _extract(dist, dtype):
             raise ValueError("batch-norm MADE not fused")
         if blk.activation is not jax.nn.relu:
             raise ValueError("fused MADE requires relu activation")
+    return made
 
-    made = jax.device_get(made)
+
+def _extract(dist, dtype):
+    made = jax.device_get(_validate(dist))
     D = made.features
     K = made.num_mixture_components
     H = made.hidden_features

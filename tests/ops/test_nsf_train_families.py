@@ -157,3 +157,42 @@ def test_affine_conditional_fused_training():
     g, gc = jax.grad(tr.loss_fn, argnums=(0, 2))(tr.weights, x.T, c.T)
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in g.values())
     assert bool(jnp.all(jnp.isfinite(gc)))
+
+
+def test_context_mismatch_raises_not_silently_drops():
+    """A conditional trainer must refuse a missing context (the kernel
+    would otherwise swap the context weights for zero dummies and return
+    a finite but wrong NLL), and an unconditional one must refuse a
+    surprise context."""
+    rng = np.random.default_rng(9)
+    keys = jax.random.split(jax.random.key(9), 2)
+    mask = np.ones(D, dtype=np.float32)
+    mask[::2] = -1
+
+    def build(context_features):
+        chain = []
+        m = mask
+        for i in range(2):
+            def create(inf, outf, _k=keys[i]):
+                return nets.ResidualNet(inf, outf, hidden_features=16,
+                                        num_blocks=1,
+                                        context_features=context_features,
+                                        key=_k)
+            chain.append(RandomPermutation(D, rng=rng))
+            chain.append(AffineCouplingTransform(
+                mask=m, transform_net_create_fn=create))
+            m = m * -1
+        return Flow(transform=CompositeTransform(chain),
+                    distribution=StandardNormal([D]))
+
+    x = _batch(11)
+    c = jnp.asarray(np.random.default_rng(10).normal(size=(128, 3)),
+                    jnp.float32)
+
+    cond = FusedNSFTrainer(build(3), batch_size=128, interpret=True)
+    with pytest.raises(ValueError, match="conditional"):
+        cond.loss_fn(cond.weights, x.T)
+
+    uncond = FusedNSFTrainer(build(None), batch_size=128, interpret=True)
+    with pytest.raises(ValueError, match="unconditional"):
+        uncond.loss_fn(uncond.weights, x.T, c.T)
