@@ -26,7 +26,10 @@ logger = logging.getLogger(__name__)
 
 
 class CompiledFlow:
-    """Fixed-shape AOT-compiled wrapper around a Flow."""
+    """Fixed-shape AOT-compiled wrapper around a Flow — or any
+    Distribution with the same endpoint surface (e.g. a MADEMoG /
+    MixtureOfGaussiansMADE mixture density, whose log_prob auto-selects
+    its megakernel)."""
 
     def __init__(self, flow, batch_size: int, features: int,
                  num_samples: Optional[int] = None,
@@ -81,14 +84,18 @@ class CompiledFlow:
                 # reuse the log_prob view whenever its LANE TILE already
                 # covers the sampling rows (row counts may differ while the
                 # padded tile is identical — a second view would recompile
-                # the same megakernel for nothing)
-                sample_rows = self.num_samples * (
-                    1 if self.context_features is None else self.batch_size)
-                sample_lanes = self._lane_tile(sample_rows)
-                self._fused_sampling = (
-                    self._fused if sample_lanes == self._fused._lanes
-                    else self._fused.with_lanes(sample_lanes)
-                )
+                # the same megakernel for nothing). Views without fused
+                # sampling (FusedMADEMoG — sequential per-feature draws
+                # stay on XLA) leave sampling to the AOT endpoints.
+                if hasattr(self._fused, "with_lanes"):
+                    sample_rows = self.num_samples * (
+                        1 if self.context_features is None
+                        else self.batch_size)
+                    sample_lanes = self._lane_tile(sample_rows)
+                    self._fused_sampling = (
+                        self._fused if sample_lanes == self._fused._lanes
+                        else self._fused.with_lanes(sample_lanes)
+                    )
 
     _FUSED_VMEM_BUDGET = 48 * 1024 * 1024  # conservative half of the 100MB cap
     _warned_auto_fused = False  # process-wide once-guard for the info log
@@ -104,6 +111,7 @@ class CompiledFlow:
         return min(2048, max(128, -(-target // 128) * 128))
 
     def _try_build_fused(self, flow, required: bool):
+        from nflows_tpu.ops.pallas.mademog_fused import fuse_mademog
         from nflows_tpu.ops.pallas.maf_fused import fuse_maf
         from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
         from nflows_tpu.ops.pallas.rq_spline import pallas_available
@@ -118,9 +126,11 @@ class CompiledFlow:
         # tile via with_lanes in __init__
         lanes = self._lane_tile(self.batch_size)
 
-        # both megakernels support per-sample context (round 3)
+        # all megakernels support per-sample context (round 3); the
+        # MADEMoG candidate fuses log_prob only (its sampling is the
+        # sequential XLA path, served via the AOT endpoints)
         errors = []
-        for fuse in (fuse_nsf, fuse_maf):
+        for fuse in (fuse_nsf, fuse_maf, fuse_mademog):
             try:
                 fused = fuse(flow, dtype=self._dtype, lanes=lanes)
             except (ValueError, AttributeError) as e:

@@ -328,3 +328,30 @@ def test_compiled_flow_conditional_fused_maf(monkeypatch):
     s_x = xla.sample(jax.random.key(2), context=c)
     assert s_f.shape == (16, 8, 4)
     np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), atol=1e-4)
+
+
+def test_compiled_flow_serves_mademog_distribution():
+    """CompiledFlow accepts a bare mixture-density Distribution: log_prob
+    auto-routes to the MADEMoG megakernel (use_fused=True), sampling stays
+    on the AOT XLA endpoints (the kernel has no fused sampler)."""
+    from nflows_tpu.distributions import MADEMoG
+
+    made = MADEMoG(
+        features=3, hidden_features=16, num_blocks=2,
+        num_mixture_components=3, context_features=None,
+        key=jax.random.key(11), rng=np.random.default_rng(11))
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(16, 3)),
+                    jnp.float32)
+
+    fused = CompiledFlow(made, batch_size=16, features=3, num_samples=8,
+                         use_fused=True)
+    assert fused.is_fused and fused._fused_sampling is None
+    xla = CompiledFlow(made, batch_size=16, features=3, num_samples=8,
+                       use_fused=False)
+    np.testing.assert_allclose(np.asarray(fused.log_prob(x)),
+                               np.asarray(xla.log_prob(x)), atol=1e-5)
+    s = fused.sample(jax.random.key(13))
+    assert s.shape == (8, 3)
+    s2, lp2 = fused.sample_and_log_prob(jax.random.key(13))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s2), atol=1e-6)
+    assert lp2.shape == (8,)
