@@ -35,9 +35,12 @@ def main():
                    choices=["bfloat16", "tensorfloat32", "float32"],
                    help="jax_default_matmul_precision for BOTH paths "
                         "(bench.py's headline uses bfloat16)")
-    p.add_argument("--family", choices=["nsf", "maf"], default="nsf",
+    p.add_argument("--family", choices=["nsf", "maf", "mademog"],
+                   default="nsf",
                    help="nsf = stacked coupling flow (FusedNSFTrainer); "
-                        "maf = masked-affine AR flow (FusedMAFTrainer)")
+                        "maf = masked-affine AR flow (FusedMAFTrainer); "
+                        "mademog = mixture-density MADE "
+                        "(FusedMADEMoGTrainer)")
     args = p.parse_args()
 
     import jax
@@ -53,8 +56,10 @@ def main():
                           args.matmul_precision)
 
     from benchmarks._timing import timeit_calls
+    from nflows_tpu.distributions import MADEMoG
     from nflows_tpu.flows import MaskedAutoregressiveFlow
     from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas.mademog_train import FusedMADEMoGTrainer
     from nflows_tpu.ops.pallas.maf_train import FusedMAFTrainer
     from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
     from nflows_tpu.training import create_train_state
@@ -69,13 +74,20 @@ def main():
                 num_layers=args.layers, num_blocks_per_layer=args.blocks,
                 use_random_permutations=True, key=jax.random.key(0),
                 rng=np.random.default_rng(0))
+        if args.family == "mademog":
+            return MADEMoG(
+                features=args.features, hidden_features=args.hidden,
+                context_features=None, num_blocks=args.blocks,
+                num_mixture_components=args.bins, key=jax.random.key(0),
+                rng=np.random.default_rng(0))
         return NeuralSplineFlow(
             features=args.features, hidden_features=args.hidden,
             num_layers=args.layers, num_blocks_per_layer=args.blocks,
             num_bins=args.bins, key=jax.random.key(0),
             rng=np.random.default_rng(0), stacked=True)
 
-    trainer_cls = FusedMAFTrainer if args.family == "maf" else FusedNSFTrainer
+    trainer_cls = {"nsf": FusedNSFTrainer, "maf": FusedMAFTrainer,
+                   "mademog": FusedMADEMoGTrainer}[args.family]
 
     for batch in args.batch:
         windows = [

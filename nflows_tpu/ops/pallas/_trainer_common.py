@@ -60,25 +60,31 @@ class FusedTrainerBase:
 
     # -- loss --------------------------------------------------------------
 
+    def _guard_ctx(self, ctx_t):
+        """Trace-time conditionality check: a conditional trainer must not
+        silently run the kernel with zero context weights, and an
+        unconditional one must not silently drop a passed context."""
+        if self._has_ctx and ctx_t is None:
+            raise ValueError(
+                "this trainer wraps a conditional flow "
+                f"(context_features={self.context_features}); "
+                "pass ctx_t=[C, N] — omitting it would silently "
+                "drop the context weights from the kernel")
+        if not self._has_ctx and ctx_t is not None:
+            raise ValueError(
+                "this trainer wraps an unconditional flow; "
+                "got an unexpected ctx_t")
+
     def _loss_from_apply(self, apply):
         """-mean log_prob through a given fused apply."""
         log_z = 0.5 * self.features * math.log(2.0 * math.pi)
 
         def loss(weights, batch_t, ctx_t=None):
+            self._guard_ctx(ctx_t)
             folded = self._fold(weights)
             if self._has_ctx:
-                if ctx_t is None:
-                    raise ValueError(
-                        "this trainer wraps a conditional flow "
-                        f"(context_features={self.context_features}); "
-                        "pass ctx_t=[C, N] — omitting it would silently "
-                        "drop the context weights from the kernel")
                 y_t, lad = apply(folded, batch_t, ctx_t)
             else:
-                if ctx_t is not None:
-                    raise ValueError(
-                        "this trainer wraps an unconditional flow; "
-                        "got an unexpected ctx_t")
                 y_t, lad = apply(folded, batch_t)
             lp = -0.5 * jnp.sum(y_t * y_t, axis=0) - log_z + lad[0]
             return -jnp.mean(lp)

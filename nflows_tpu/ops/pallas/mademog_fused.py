@@ -69,7 +69,13 @@ def _validate(dist):
     return made
 
 
-def _extract(dist, dtype):
+def _extract(dist, dtype, fold_masks=True, return_masks=False):
+    """Re-lay a qualifying MADEMoG's weights for the kernel. Serving uses
+    the defaults (masks folded into the weights); the fused trainer
+    (mademog_train.py) passes ``fold_masks=False, return_masks=True`` so
+    the trainable weights stay pure transposes/permutations of the
+    model's own, with the static masks returned in kernel layout for the
+    per-step XLA fold."""
     made = jax.device_get(_validate(dist))
     D = made.features
     K = made.num_mixture_components
@@ -78,7 +84,11 @@ def _extract(dist, dtype):
           else int(made.context_layer.weight.shape[0]))
 
     def wT(md):
-        return (np.asarray(md.weight) * np.asarray(md.mask)).T
+        w = np.asarray(md.weight)
+        return (w * np.asarray(md.mask)).T if fold_masks else w.T
+
+    def mT(md):
+        return np.asarray(md.mask, np.float32).T
 
     wi = wT(made.initial_layer)                                # [H, D]
     bi = np.asarray(made.initial_layer.bias)[:, None]
@@ -118,7 +128,42 @@ def _extract(dist, dtype):
         )
     static = dict(D=D, K=K, H=H, num_blocks=len(made.blocks),
                   epsilon=float(made.epsilon))
-    return weights, static, Cf
+    if not return_masks:
+        return weights, static, Cf
+    masks = dict(
+        wi=jnp.asarray(mT(made.initial_layer), dtype=dtype),
+        wb=jnp.asarray(np.concatenate(
+            [mT(lin) for blk in made.blocks
+             for lin in (blk.linear_0, blk.linear_1)]), dtype=dtype),
+        wf=jnp.asarray(mT(made.final_layer)[order], dtype=dtype),
+    )
+    return weights, static, Cf, masks
+
+
+def _mog_log_prob_TR(x, P, *, K, D, epsilon):
+    """MoG head on the K-major [3KD, R] MADE output: per-feature
+    log-softmax mixture weights, softplus stds, logsumexp over components,
+    sum over features (nn/nde/made.py:82-100; reference
+    nflows/nn/nde/made.py:284-354). Returns lp [1, R]. Shared between the
+    serving kernel and the fused trainer's differentiable recompute."""
+    KD = K * D
+    logits = P[:KD].reshape(K, D, x.shape[1])
+    means = P[KD:2 * KD].reshape(K, D, x.shape[1])
+    ustds = P[2 * KD:].reshape(K, D, x.shape[1])
+
+    # log-softmax over components (nn/nde/made.py:82)
+    m = jnp.max(logits, axis=0, keepdims=True)
+    log_coef = (logits - m) - jnp.log(
+        jnp.sum(jnp.exp(logits - m), axis=0, keepdims=True))
+    stds = jnp.logaddexp(ustds, 0.0) + epsilon          # softplus + eps
+    comp_lp = log_coef - 0.5 * (
+        jnp.log(jnp.asarray(2.0 * jnp.pi, jnp.float32))
+        + 2.0 * jnp.log(stds)
+        + ((x[None] - means) / stds) ** 2
+    )                                                   # [K, D, R]
+    cm = jnp.max(comp_lp, axis=0)
+    lp_d = cm + jnp.log(jnp.sum(jnp.exp(comp_lp - cm[None]), axis=0))
+    return jnp.sum(lp_d, axis=0, keepdims=True)         # [1, R]
 
 
 def _kernel(x_ref, ctx_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
@@ -141,7 +186,6 @@ def _kernel(x_ref, ctx_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
 
     nb = 2 * num_blocks
     x = x_ref[...].astype(jnp.float32)          # [D, R]
-    R = x.shape[1]
 
     c_init = c_blks = None
     if has_context:
@@ -163,25 +207,7 @@ def _kernel(x_ref, ctx_ref, wi_hbm, bi_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
     P = _made_forward(x, wi_v[...], bi_v[...], wbs, bbs,
                       wf_v[...], bf_v[...], num_blocks,
                       c_init=c_init, c_blks=c_blks)     # [3KD, R]
-
-    KD = K * D
-    logits = P[:KD].reshape(K, D, R)
-    means = P[KD:2 * KD].reshape(K, D, R)
-    ustds = P[2 * KD:].reshape(K, D, R)
-
-    # log-softmax over components (nn/nde/made.py:82)
-    m = jnp.max(logits, axis=0, keepdims=True)
-    log_coef = (logits - m) - jnp.log(
-        jnp.sum(jnp.exp(logits - m), axis=0, keepdims=True))
-    stds = jnp.logaddexp(ustds, 0.0) + epsilon          # softplus + eps
-    comp_lp = log_coef - 0.5 * (
-        jnp.log(jnp.asarray(2.0 * jnp.pi, jnp.float32))
-        + 2.0 * jnp.log(stds)
-        + ((x[None] - means) / stds) ** 2
-    )                                                   # [K, D, R]
-    cm = jnp.max(comp_lp, axis=0)
-    lp_d = cm + jnp.log(jnp.sum(jnp.exp(comp_lp - cm[None]), axis=0))
-    lp_ref[...] = jnp.sum(lp_d, axis=0, keepdims=True)  # [1, R]
+    lp_ref[...] = _mog_log_prob_TR(x, P, K=K, D=D, epsilon=epsilon)
 
 
 def mademog_log_prob_call(x_t, weights, static, *, lanes=1024,

@@ -5,10 +5,12 @@ returns the matching trainer — :class:`FusedNSFTrainer` for coupling
 chains (all seven kinds), :class:`FusedMAFTrainer` for unwrapped
 autoregressive chains (MAF / NSF-AR), :class:`FusedIAFTrainer` for
 all-wrapped chains (IAF; trains the sampling direction with
-``make_vi_train_step``) — mirroring ``serving.CompiledFlow``'s fused
-auto-select on the training side. Flows that match no kernel raise with
-each prober's reason (or return ``None`` with ``required=False``), in
-which case ``training.make_train_step`` (the XLA chain) is the path.
+``make_vi_train_step``), :class:`FusedMADEMoGTrainer` for bare
+mixture-density models (MADEMoG / MixtureOfGaussiansMADE) — mirroring
+``serving.CompiledFlow``'s fused auto-select on the training side.
+Models that match no kernel raise with each prober's reason (or return
+``None`` with ``required=False``), in which case
+``training.make_train_step`` (the XLA chain) is the path.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ def fused_trainer(flow, batch_size, interpret=None, required=True):
         required: when False, return ``None`` instead of raising if no
             kernel matches (the caller falls back to the XLA chain).
     """
+    from nflows_tpu.ops.pallas.mademog_train import FusedMADEMoGTrainer
     from nflows_tpu.ops.pallas.maf_train import (
         FusedIAFTrainer,
         FusedMAFTrainer,
@@ -39,7 +42,8 @@ def fused_trainer(flow, batch_size, interpret=None, required=True):
             f"batch_size={batch_size} must be a multiple of 128 (the "
             "kernel lane width)")
     errors = []
-    for cls in (FusedNSFTrainer, FusedMAFTrainer, FusedIAFTrainer):
+    for cls in (FusedNSFTrainer, FusedMAFTrainer, FusedIAFTrainer,
+                FusedMADEMoGTrainer):
         try:
             return cls(flow, batch_size=batch_size, interpret=interpret)
         except (ValueError, AttributeError) as e:
