@@ -87,3 +87,34 @@ def test_maf_dp_step_equals_single_device():
     for k in w1:
         np.testing.assert_allclose(np.asarray(w1[k]), np.asarray(w2[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_mademog_dp_step_equals_single_device():
+    """The mixture-density trainer inherits the DP step through
+    FusedTrainerBase; per-shard megakernels + pmean'd grads must equal
+    the single-device step on the same global batch."""
+    from jax.sharding import Mesh
+
+    from nflows_tpu.nn.nde.made import MixtureOfGaussiansMADE
+    from nflows_tpu.ops.pallas.mademog_train import FusedMADEMoGTrainer
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    made = MixtureOfGaussiansMADE(
+        features=5, hidden_features=16, num_blocks=2,
+        num_mixture_components=4, context_features=None,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    batch = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1024, 5)) * 1.5, jnp.float32)
+    opt = optax.adam(3e-4)
+
+    tr = FusedMADEMoGTrainer(made, batch_size=1024, interpret=True)
+    w0, s0 = tr.weights, tr.init_opt(opt)
+
+    w1, s1, loss1 = tr.make_train_step(opt, donate=False)(w0, s0, batch)
+    w2, s2, loss2 = tr.make_dp_train_step(opt, mesh, donate=False)(
+        w0, s0, batch)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for k in w1:
+        np.testing.assert_allclose(np.asarray(w1[k]), np.asarray(w2[k]),
+                                   atol=1e-6, err_msg=k)
