@@ -187,6 +187,44 @@ class FusedTrainerBase:
                 out_specs=(P(), P(), P()), check_rep=False)
         return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
+    def init_loop_state(self, optimizer):
+        """A ``TrainState`` carrying the kernel-layout weights
+        (``params=weights, rest=None``), so the fused trainers compose
+        with ``training.loop.run_training``'s checkpoint/resume/metric
+        machinery unchanged."""
+        from nflows_tpu.training.train import TrainState
+
+        return TrainState(params=self.weights, rest=None,
+                          opt_state=self.init_opt(optimizer))
+
+    def make_loop_step(self, optimizer, donate=True):
+        """Build ``step(state, batch[, context]) -> (state, metrics)`` —
+        the ``run_training`` contract — over the fused loss. Pair with
+        :meth:`init_loop_state`."""
+        import optax
+
+        def _update(state, batch, context):
+            batch_t = jnp.asarray(batch, jnp.float32).T
+            ctx_t = (None if context is None
+                     else jnp.asarray(context, jnp.float32).T)
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                state.params, batch_t, ctx_t)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            new_state = state.replace(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=opt_state, step=state.step + 1)
+            return new_state, {"loss": loss}
+
+        if self._has_ctx:
+            def step(state, batch, context):
+                return _update(state, batch, context)
+        else:
+            def step(state, batch):
+                return _update(state, batch, None)
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
     def make_scan_train_step(self, optimizer, donate=True):
         """One dispatch = one ``lax.scan`` over ``batches``' leading axis —
         the same scan-fused loop shape bench.py uses for the XLA path.

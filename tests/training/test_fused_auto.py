@@ -102,3 +102,50 @@ def test_fused_trainer_state_checkpoints(tmp_path):
     w2, s2, _ = step(w2, s2, batch(1))
     loss_resumed = float(step(w2, s2, batch(2))[2])
     assert loss_uninterrupted == loss_resumed
+
+
+def test_fused_trainer_composes_with_run_training(tmp_path):
+    """make_loop_step/init_loop_state: the fused trainer drives
+    run_training unchanged — checkpoint mid-run, resume from a fresh
+    state, land on the identical weights."""
+    import jax.numpy as jnp
+    import optax
+
+    from nflows_tpu.data import NumpyDataLoader
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.training.loop import run_training
+
+    flow = NeuralSplineFlow(features=4, hidden_features=16, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+    tr = fused_trainer(flow, batch_size=128, interpret=True)
+    opt = optax.adam(1e-2)
+    step = tr.make_loop_step(opt, donate=False)
+    X = np.random.default_rng(0).normal(size=(512, 4)).astype(np.float32)
+    ckdir = str(tmp_path / "run")
+
+    state = run_training(tr.init_loop_state(opt), step,
+                         NumpyDataLoader(X, batch_size=128, seed=0),
+                         num_steps=4, checkpoint_dir=ckdir,
+                         checkpoint_every=2, log_every=2,
+                         prepare_batch=jnp.asarray)
+    assert int(state.step) == 4
+
+    # resume from a fresh init: restores step 4, trains 2 more
+    resumed = run_training(tr.init_loop_state(opt), step,
+                           NumpyDataLoader(X, batch_size=128, seed=0),
+                           num_steps=6, checkpoint_dir=ckdir,
+                           checkpoint_every=2, log_every=2,
+                           prepare_batch=jnp.asarray)
+    assert int(resumed.step) == 6
+
+    # uninterrupted 6-step run lands on identical weights
+    straight = run_training(tr.init_loop_state(opt), step,
+                            NumpyDataLoader(X, batch_size=128, seed=0),
+                            num_steps=6, log_every=2,
+                            prepare_batch=jnp.asarray)
+    for k in straight.params:
+        np.testing.assert_array_equal(np.asarray(resumed.params[k]),
+                                      np.asarray(straight.params[k]),
+                                      err_msg=k)
