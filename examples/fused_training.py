@@ -2,17 +2,22 @@
 Pallas megakernel, then the trained weights export back to a standard flow
 for serving.
 
-Two trainers share the recipe (custom_vjp fused forward +
+The trainers share the recipe (custom_vjp fused forward +
 recompute-in-kernel backward, trainable weights that are pure
 transposes/permutations of the model's own so Adam follows the XLA
 trajectory exactly):
 
 - ``FusedNSFTrainer`` — coupling flows, all seven kinds
   (rq/lrs/linear/quadratic/cubic splines, affine/additive);
-- ``FusedMAFTrainer`` — autoregressive flows (MAF, NSF-AR).
+- ``FusedMAFTrainer`` — autoregressive flows (MAF, NSF-AR);
+- ``FusedMADEMoGTrainer`` — the MADEMoG mixture-density family;
+- (``FusedIAFTrainer`` trains IAFs variationally — see vi_smc.py.)
 
-Both take conditional flows: pass the per-sample context as a fourth
+All take conditional models: pass the per-sample context as a fourth
 operand and the backward also yields context gradients.
+``training.fused_trainer(flow, batch)`` auto-selects;
+``trainer.init_loop_state``/``make_loop_step`` compose with
+``training.loop.run_training`` for checkpoint/resume.
 
 Run: python examples/fused_training.py
 """
