@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -35,19 +36,52 @@ class FusedTrainerBase:
     # set by subclass __init__: weights, features, context_features,
     # batch_size, _lanes, _interpret, _has_ctx
 
+    # one TPU core's VMEM is 128 MiB; the backward kernel is additionally
+    # subject to Mosaic's 100 MiB scoped-vmem default. Budget below both,
+    # leaving headroom for double-buffered DMAs and scheduler slack.
+    _VMEM_BUDGET = 96 * 1024 * 1024
+
     def _init_batching(self, batch_size):
         self.batch_size = int(batch_size)
         if self.batch_size % 128:
             raise ValueError(
                 f"batch_size={batch_size} must be a multiple of 128 (the "
                 "kernel lane width)")
-        # lane tile: the largest multiple-of-128 divisor of batch_size that
-        # fits one grid step (<= 1024); the grid covers the rest
+        # lane tile: the largest multiple-of-128 divisor of batch_size
+        # (<= 1024) whose backward-kernel VMEM estimate fits the budget;
+        # the grid covers the rest
         self._lanes = self._lane_tile(self.batch_size)
 
-    @staticmethod
-    def _lane_tile(n):
-        return max(c for c in range(128, 1025, 128) if n % c == 0)
+    def _lane_tile(self, n):
+        fixed = self._fixed_vmem_bytes()
+        per_lane = self._lane_vmem_bytes()
+        fits = [c for c in range(128, 1025, 128)
+                if n % c == 0 and fixed + c * per_lane <= self._VMEM_BUDGET]
+        # 128 is the floor: below it the kernels cannot tile at all. If even
+        # that estimate busts the budget, let the compiler have the final
+        # word (the estimate is deliberately conservative).
+        return max(fits) if fits else 128
+
+    def _fixed_vmem_bytes(self):
+        """Lane-independent VMEM of the backward kernel: the weight scratch
+        plus the same-shaped gradient accumulator output blocks."""
+        return 2 * sum(w.nbytes for w in self.weights.values())
+
+    def _lane_vmem_bytes(self):
+        """Per-lane VMEM of the backward kernel (bytes per batch column).
+
+        The in-kernel ``jax.vjp`` residuals of every layer are live at
+        once (Mosaic schedules the recompute chain ahead of the backward
+        sweep), so the footprint is ~2x the total matmul-output rows
+        across all layers — i.e. the summed leading dims of the weight
+        matrices. Measured anchors (flagship NSF, lanes=1024): estimate
+        2.5 * 13,490 rows * 4 B = 132 KiB/lane vs 125 KiB/lane observed;
+        MAF: 126 KiB vs ~114 KiB observed. Conservative by design."""
+        rows = sum(
+            int(np.prod(w.shape[:-1]))
+            for w in self.weights.values()
+            if w.ndim >= 2 and w.shape[-1] > 1)
+        return int(4 * 2.5 * rows)
 
     # -- hooks -------------------------------------------------------------
 
