@@ -88,6 +88,16 @@ class FusedTrainerBase:
     def _build_apply(self, lanes):
         raise NotImplementedError
 
+    def _build_loss_grad(self, lanes):
+        """Optional ONE-kernel ``(weights, batch_t[, ctx_t]) -> (loss,
+        grads)`` builder. When a subclass provides it, every train step
+        uses it instead of autodiff over the custom_vjp apply — one launch
+        and 3 forward-equivalents of FLOPs instead of the split path's 5
+        (forward kernel + chain recompute + per-layer vjp re-runs). The
+        custom_vjp apply remains the composable path (embedding nets,
+        input cotangents, VI objectives)."""
+        return None
+
     def _fold(self, weights):
         """Differentiable pre-kernel weight fold (identity by default)."""
         return weights
@@ -130,6 +140,37 @@ class FusedTrainerBase:
         for conditional flows, ``ctx_t`` is the [C, N] context."""
         return self._loss_from_apply(self._apply)(weights, batch_t, ctx_t)
 
+    def _value_and_grad(self, lanes=None, apply=None):
+        """(weights, batch_t, ctx_t) -> (loss, grads): the one-kernel
+        fused path when the subclass provides one, else
+        ``jax.value_and_grad`` over the custom_vjp loss. Differentiation
+        through ``_fold`` (e.g. the AR mask fold) happens in XLA via
+        ``jax.vjp`` either way."""
+        lanes = self._lanes if lanes is None else lanes
+        lg = self._build_loss_grad(lanes)
+        if lg is None:
+            if apply is None:
+                apply = (self._apply if lanes == self._lanes
+                         else self._build_apply(lanes))
+            loss = self._loss_from_apply(apply)
+
+            def vag(weights, batch_t, ctx_t=None):
+                return jax.value_and_grad(loss)(weights, batch_t, ctx_t)
+
+            return vag
+
+        def vag(weights, batch_t, ctx_t=None):
+            self._guard_ctx(ctx_t)
+            folded, fold_vjp = jax.vjp(self._fold, weights)
+            if self._has_ctx:
+                loss, gfolded = lg(folded, batch_t, ctx_t)
+            else:
+                loss, gfolded = lg(folded, batch_t)
+            (grads,) = fold_vjp(gfolded)
+            return loss, grads
+
+        return vag
+
     def init_opt(self, optimizer):
         return optimizer.init(self.weights)
 
@@ -141,12 +182,13 @@ class FusedTrainerBase:
         """
         import optax
 
+        vag = self._value_and_grad()
+
         def _update(weights, opt_state, batch, context):
             batch_t = jnp.asarray(batch, jnp.float32).T
             ctx_t = (None if context is None
                      else jnp.asarray(context, jnp.float32).T)
-            loss, grads = jax.value_and_grad(self.loss_fn)(
-                weights, batch_t, ctx_t)
+            loss, grads = vag(weights, batch_t, ctx_t)
             updates, opt_state = optimizer.update(grads, opt_state, weights)
             return optax.apply_updates(weights, updates), opt_state, loss
 
@@ -185,13 +227,11 @@ class FusedTrainerBase:
                 "devices must give a per-device batch that is a multiple "
                 "of 128")
         P = PartitionSpec
-        local_loss = self._loss_from_apply(
-            self._build_apply(self._lane_tile(per_dev)))
+        vag = self._value_and_grad(self._lane_tile(per_dev))
 
         def _shard_update(weights, opt_state, batch, context):
             ctx_t = None if context is None else context.T
-            loss, grads = jax.value_and_grad(local_loss)(
-                weights, batch.T, ctx_t)
+            loss, grads = vag(weights, batch.T, ctx_t)
             # equal shards: global mean = pmean of per-shard means
             grads = jax.lax.pmean(grads, data_axis)
             loss = jax.lax.pmean(loss, data_axis)
@@ -237,12 +277,13 @@ class FusedTrainerBase:
         :meth:`init_loop_state`."""
         import optax
 
+        vag = self._value_and_grad()
+
         def _update(state, batch, context):
             batch_t = jnp.asarray(batch, jnp.float32).T
             ctx_t = (None if context is None
                      else jnp.asarray(context, jnp.float32).T)
-            loss, grads = jax.value_and_grad(self.loss_fn)(
-                state.params, batch_t, ctx_t)
+            loss, grads = vag(state.params, batch_t, ctx_t)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.params)
             new_state = state.replace(
@@ -267,6 +308,8 @@ class FusedTrainerBase:
         (e.g. when re-timing from the same initial state)."""
         import optax
 
+        vag = self._value_and_grad()
+
         def one(carry, xs):
             weights, opt_state = carry
             if self._has_ctx:
@@ -274,7 +317,7 @@ class FusedTrainerBase:
                 args = (batch.T, context.T)
             else:
                 args = (xs.T,)
-            loss, grads = jax.value_and_grad(self.loss_fn)(weights, *args)
+            loss, grads = vag(weights, *args)
             updates, opt_state = optimizer.update(grads, opt_state, weights)
             return (optax.apply_updates(weights, updates), opt_state), loss
 

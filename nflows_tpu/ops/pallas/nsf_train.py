@@ -67,7 +67,7 @@ from nflows_tpu.ops.pallas.nsf_flow_kernel import (
     nsf_flow_kernel_call,
 )
 
-__all__ = ["FusedNSFTrainer", "nsf_train_vjp_call"]
+__all__ = ["FusedNSFTrainer", "nsf_train_vjp_call", "nsf_loss_grad_call"]
 
 
 def _dot_f32(a, b):
@@ -245,6 +245,273 @@ def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                      else jnp.zeros(gctx_ref.shape, gctx_ref.dtype))
 
 
+def _family_spline_config(static):
+    """Per-family kernel config shared by the custom_vjp and one-kernel
+    builders: (spline_kw, scaled, kernel_spline_name, packed).
+
+    rq/lrs/cubic rescale widths+heights by 1/sqrt(hidden); quadratic
+    rescales ALL its params (covered by the clamped 2KT slice); linear and
+    affine/additive rescale nothing (extraction folds nothing either way,
+    so fold_wh_scale=False weights are already the model's own). The
+    packed-select choice resolves ONCE at build so every kernel of a
+    trainer runs the same spline form."""
+    from nflows_tpu import config
+
+    family = static["spline"]
+    if family in ("affine", "additive"):
+        # scale_act='none' is the additive case (extraction sets it)
+        spline_kw = dict(scale_act=static["scale_act"])
+    elif family == "linear":
+        spline_kw = dict(tail_bound=static["tail_bound"])
+    elif family in ("quadratic", "cubic"):
+        spline_kw = dict(
+            tail_bound=static["tail_bound"],
+            min_bin_width=static["min_bin_width"],
+            min_bin_height=static["min_bin_height"],
+        )
+    else:
+        spline_kw = dict(
+            tail_bound=static["tail_bound"],
+            min_bin_width=static["min_bin_width"],
+            min_bin_height=static["min_bin_height"],
+            min_derivative=static["min_derivative"],
+        )
+        if family == "lrs":
+            spline_kw["min_lambda"] = static["min_lambda"]
+    scaled = family in ("rq", "lrs", "cubic", "quadratic")
+    packed = (config.packed_spline_select()
+              and f"{family}_packed" in _SPLINES_TR)
+    kernel_spline = f"{family}_packed" if packed else family
+    return spline_kw, scaled, kernel_spline, packed
+
+
+def _loss_grad_kernel(x_ref, ctx_ref,
+                      w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
+                      wc0_hbm, wcb_hbm, bcb_hbm,
+                      lp_ref, gw0_ref, gb0_ref, gwb_ref, gbb_ref,
+                      gwf_ref, gbf_ref, gwc0_ref, gwcb_ref, gbcb_ref,
+                      w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+                      wc0_v, wcb_v, bcb_v, dma_sems, *,
+                      layer_indices, num_bins, num_blocks, H, TM, spline,
+                      spline_kw, wh_scale, has_context, inv_n, log_z):
+    """ONE kernel = loss + every weight gradient.
+
+    The split design (forward kernel + recompute-in-kernel backward) costs
+    5 forward-equivalents of FLOPs per step: fwd kernel (1) + backward's
+    chain recompute (1) + each layer vjp's forward re-run (1) + backprop
+    (2). Here the chain pass IS the vjp pass (residuals stay in VMEM — the
+    measured footprint of the split kernel showed they coexist anyway),
+    and the NLL loss closes over the outputs in-kernel, so the whole train
+    gradient is 3 forward-equivalents — the same FLOPs XLA's
+    stored-activation autodiff does, with zero activation HBM traffic and
+    a single launch. Cotangents of ``loss = -mean(lp)`` are analytic:
+    d/dy = y/N, d/dlad = -1/N.
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        pairs = [(w0_hbm, w0_v), (b0_hbm, b0_v), (wb_hbm, wb_v),
+                 (bb_hbm, bb_v), (wf_hbm, wf_v), (bf_hbm, bf_v)]
+        if has_context:
+            pairs += [(wc0_hbm, wc0_v), (wcb_hbm, wcb_v), (bcb_hbm, bcb_v)]
+        dmas = start_weight_dmas(pairs, dma_sems)
+        for ref in (gw0_ref, gb0_ref, gwb_ref, gbb_ref, gwf_ref, gbf_ref,
+                    gwc0_ref, gwcb_ref, gbcb_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+        wait_dmas(dmas)
+
+    L = len(layer_indices)
+    layer_fns = [
+        _make_layer_fn(layer_indices[l], spline, num_bins, num_blocks,
+                       wh_scale, spline_kw, has_ctx=has_context)
+        for l in range(L)
+    ]
+    cvs = ((wc0_v, wcb_v, bcb_v) if has_context else (None, None, None))
+    all_ws = [
+        _slice_layer_weights(l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
+                             num_blocks, H, TM,
+                             wc0_v=cvs[0], wcb_v=cvs[1], bcb_v=cvs[2])
+        for l in range(L)
+    ]
+
+    # single chain pass: the forward AND the residual-storing vjp pass
+    x = x_ref[...].astype(jnp.float32)
+    ctx = ctx_ref[...].astype(jnp.float32) if has_context else None
+    lad = jnp.zeros((1, x.shape[1]), jnp.float32)
+    vjps = []
+    for l in range(L):
+        if has_context:
+            (x, lad_l), vjp = jax.vjp(layer_fns[l], x, ctx, *all_ws[l])
+        else:
+            (x, lad_l), vjp = jax.vjp(layer_fns[l], x, *all_ws[l])
+        vjps.append(vjp)
+        lad = lad + lad_l
+
+    # per-sample log prob under the StandardNormal base
+    lp_ref[...] = (-0.5 * jnp.sum(x * x, axis=0, keepdims=True)
+                   - log_z + lad)
+
+    # analytic cotangents of loss = -(1/N) * sum(lp)
+    gx = x * inv_n
+    glad = jnp.full((1, x.shape[1]), -inv_n, jnp.float32)
+    nb = 2 * num_blocks
+    for l in range(L - 1, -1, -1):
+        if has_context:
+            gx, _, *gws = vjps[l]((gx, glad))
+        else:
+            gx, *gws = vjps[l]((gx, glad))
+        gw0_ref[l * H:(l + 1) * H, :] += gws[0]
+        gb0_ref[l * H:(l + 1) * H, :] += gws[1]
+        for j in range(nb):
+            r = (l * nb + j) * H
+            gwb_ref[r:r + H, :] += gws[2 + j]
+            gbb_ref[r:r + H, :] += gws[2 + nb + j]
+        base = 2 + 2 * nb
+        gwf_ref[l * TM:(l + 1) * TM, :] += gws[base]
+        gbf_ref[l * TM:(l + 1) * TM, :] += gws[base + 1]
+        if has_context:
+            gwc0_ref[l * H:(l + 1) * H, :] += gws[base + 2]
+            for j in range(num_blocks):
+                r = (l * num_blocks + j) * H
+                gwcb_ref[r:r + H, :] += gws[base + 3 + j]
+                gbcb_ref[r:r + H, :] += gws[base + 3 + num_blocks + j]
+
+
+def _loss_grad_pallas(x_t, w0, b0, wb, bb, wf, bf, *,
+                      layer_indices, num_bins, num_blocks, spline,
+                      spline_kw, wh_scale, lanes, interpret,
+                      ctx_t=None, wc0=None, wcb=None, bcb=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, N = x_t.shape
+    L, H, Tid = w0.shape
+    TM = wf.shape[1]
+    grid = (N // lanes,)
+
+    w0f = w0.reshape(L * H, -1)
+    b0f = b0.reshape(L * H, 1)
+    wbf = wb.reshape(-1, H)
+    bbf = bb.reshape(-1, 1)
+    wff = wf.reshape(L * TM, H)
+    bff = bf.reshape(L * TM, 1)
+
+    has_context = ctx_t is not None
+    if has_context:
+        C = ctx_t.shape[0]
+        ctx_shapes = (wc0.shape, wcb.shape, bcb.shape)
+        wc0f = wc0.reshape(L * H, C)
+        wcbf = wcb.reshape(-1, C)
+        bcbf = bcb.reshape(-1, 1)
+    else:
+        C = 1
+        ctx_t = jnp.zeros((1, N), dtype=jnp.float32)
+        wc0f = jnp.zeros((1, 1), dtype=jnp.float32)
+        wcbf = jnp.zeros((1, 1), dtype=jnp.float32)
+        bcbf = jnp.zeros((1, 1), dtype=jnp.float32)
+
+    kernel = functools.partial(
+        _loss_grad_kernel,
+        layer_indices=tuple(layer_indices),
+        num_bins=num_bins, num_blocks=num_blocks, H=H, TM=TM,
+        spline=spline, spline_kw=spline_kw, wh_scale=wh_scale,
+        has_context=has_context,
+        inv_n=1.0 / N,
+        log_z=0.5 * D * math.log(2.0 * math.pi),
+    )
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    tile = lambda shape: pl.BlockSpec(  # noqa: E731
+        (shape, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
+    acc = lambda rows, cols: pl.BlockSpec(  # noqa: E731
+        (rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile(D), tile(C),
+                  hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm],
+        out_specs=[
+            tile(1),
+            acc(*w0f.shape), acc(*b0f.shape), acc(*wbf.shape),
+            acc(*bbf.shape), acc(*wff.shape), acc(*bff.shape),
+            acc(*wc0f.shape), acc(*wcbf.shape), acc(*bcbf.shape),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct(w0f.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b0f.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wbf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bbf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wff.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bff.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wc0f.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wcbf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bcbf.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(w0f.shape, jnp.float32),
+            pltpu.VMEM(b0f.shape, jnp.float32),
+            pltpu.VMEM(wbf.shape, jnp.float32),
+            pltpu.VMEM(bbf.shape, jnp.float32),
+            pltpu.VMEM(wff.shape, jnp.float32),
+            pltpu.VMEM(bff.shape, jnp.float32),
+            pltpu.VMEM(wc0f.shape, jnp.float32),
+            pltpu.VMEM(wcbf.shape, jnp.float32),
+            pltpu.VMEM(bcbf.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_t, ctx_t, w0f, b0f, wbf, bbf, wff, bff, wc0f, wcbf, bcbf)
+    lp, gw0, gb0, gwb, gbb, gwf, gbf, gwc0, gwcb, gbcb = outs
+    gweights = dict(
+        w0=gw0.reshape(w0.shape), b0=gb0.reshape(b0.shape),
+        wb=gwb.reshape(wb.shape), bb=gbb.reshape(bb.shape),
+        wf=gwf.reshape(wf.shape), bf=gbf.reshape(bf.shape))
+    if has_context:
+        gweights.update(
+            wc0=gwc0.reshape(ctx_shapes[0]),
+            wcb=gwcb.reshape(ctx_shapes[1]),
+            bcb=gbcb.reshape(ctx_shapes[2]))
+    return lp, gweights
+
+
+def nsf_loss_grad_call(indices, static, lanes, interpret,
+                       has_context=False):
+    """Build the ONE-kernel NLL ``loss_and_grad(weights, x_t[, ctx_t]) ->
+    (loss, grads)`` (see ``_loss_grad_kernel``). Gradients and loss equal
+    the custom_vjp path / XLA autodiff exactly (same traced layer math);
+    pinned by tests/ops/test_nsf_loss_grad.py."""
+    spline_kw, scaled, bwd_spline, _ = _family_spline_config(static)
+    common = dict(
+        layer_indices=tuple(indices),
+        num_bins=static.get("num_bins", 0),
+        num_blocks=static["num_blocks"],
+        spline=bwd_spline,
+        spline_kw=spline_kw,
+        lanes=lanes,
+        interpret=interpret,
+    )
+
+    def loss_and_grad(weights, x_t, ctx_t=None):
+        H = weights["w0"].shape[1]
+        ctx_kw = {}
+        if has_context:
+            ctx_kw = dict(ctx_t=ctx_t, wc0=weights["wc0"],
+                          wcb=weights["wcb"], bcb=weights["bcb"])
+        lp, gweights = _loss_grad_pallas(
+            x_t, weights["w0"], weights["b0"], weights["wb"],
+            weights["bb"], weights["wf"], weights["bf"],
+            wh_scale=(1.0 / math.sqrt(H)) if scaled else None,
+            **common, **ctx_kw)
+        return -jnp.mean(lp), gweights
+
+    return loss_and_grad
+
+
 def _bwd_call(x_t, gy_t, glad, w0, b0, wb, bb, wf, bf, *,
               layer_indices, num_bins, num_blocks, spline, spline_kw,
               wh_scale, lanes, interpret,
@@ -364,39 +631,8 @@ def nsf_train_vjp_call(indices, static, lanes, interpret,
     gradients for the context weights AND for ``ctx_t`` itself, so an
     XLA embedding net composed outside the kernel trains through it.
     """
-    from nflows_tpu import config
-
     family = static["spline"]
-    if family in ("affine", "additive"):
-        # scale_act='none' is the additive case (extraction sets it)
-        spline_kw = dict(scale_act=static["scale_act"])
-    elif family == "linear":
-        spline_kw = dict(tail_bound=static["tail_bound"])
-    elif family in ("quadratic", "cubic"):
-        spline_kw = dict(
-            tail_bound=static["tail_bound"],
-            min_bin_width=static["min_bin_width"],
-            min_bin_height=static["min_bin_height"],
-        )
-    else:
-        spline_kw = dict(
-            tail_bound=static["tail_bound"],
-            min_bin_width=static["min_bin_width"],
-            min_bin_height=static["min_bin_height"],
-            min_derivative=static["min_derivative"],
-        )
-        if family == "lrs":
-            spline_kw["min_lambda"] = static["min_lambda"]
-    # rq/lrs/cubic rescale widths+heights by 1/sqrt(hidden); quadratic
-    # rescales ALL its params (covered by the clamped 2KT slice); linear
-    # and affine/additive rescale nothing (extraction folds nothing either
-    # way, so fold_wh_scale=False weights are already the model's own)
-    scaled = family in ("rq", "lrs", "cubic", "quadratic")
-    # resolve the packed-select choice ONCE at build so the forward kernel
-    # and the recompute-in-kernel backward always run the same spline form
-    packed = (config.packed_spline_select()
-              and f"{family}_packed" in _SPLINES_TR)
-    bwd_spline = f"{family}_packed" if packed else family
+    spline_kw, scaled, bwd_spline, packed = _family_spline_config(static)
     common = dict(
         layer_indices=tuple(indices),
         num_bins=static.get("num_bins", 0),
@@ -523,6 +759,11 @@ class FusedNSFTrainer(FusedTrainerBase):
 
     def _build_apply(self, lanes):
         return nsf_train_vjp_call(
+            self._indices, self._static, lanes, self._interpret,
+            has_context=self._has_ctx)
+
+    def _build_loss_grad(self, lanes):
+        return nsf_loss_grad_call(
             self._indices, self._static, lanes, self._interpret,
             has_context=self._has_ctx)
 
