@@ -95,7 +95,16 @@ class FusedTrainerBase:
         and 3 forward-equivalents of FLOPs instead of the split path's 5
         (forward kernel + chain recompute + per-layer vjp re-runs). The
         custom_vjp apply remains the composable path (embedding nets,
-        input cotangents, VI objectives)."""
+        input cotangents, VI objectives).
+
+        Contract: the (loss, grads) this builder returns MUST encode the
+        exact objective of the trainer's ``_loss_from_apply``. A subclass
+        that overrides ``_loss_from_apply`` (a different objective, e.g.
+        the IAF VI loss) and does not provide a matching one-kernel
+        builder is handled automatically: ``_value_and_grad`` falls back
+        to autodiff over the (overridden) loss whenever
+        ``_loss_from_apply`` is customized, even if a non-None
+        ``_build_loss_grad`` is inherited."""
         return None
 
     def _fold(self, weights):
@@ -147,7 +156,13 @@ class FusedTrainerBase:
         through ``_fold`` (e.g. the AR mask fold) happens in XLA via
         ``jax.vjp`` either way."""
         lanes = self._lanes if lanes is None else lanes
-        lg = self._build_loss_grad(lanes)
+        # The one-kernel builder hardcodes the NLL objective, so it is
+        # only sound when the trainer's loss IS the base-class NLL; a
+        # subclass that overrides _loss_from_apply (e.g. a VI objective)
+        # must not inherit a mismatched fused builder.
+        custom_loss = (type(self)._loss_from_apply
+                       is not FusedTrainerBase._loss_from_apply)
+        lg = None if custom_loss else self._build_loss_grad(lanes)
         if lg is None:
             if apply is None:
                 apply = (self._apply if lanes == self._lanes

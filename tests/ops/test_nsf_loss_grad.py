@@ -104,6 +104,7 @@ def test_one_kernel_families():
         AffineCouplingTransform,
         PiecewiseCubicCouplingTransform,
         PiecewiseLinearCouplingTransform,
+        PiecewiseLinearRationalCouplingTransform,
         PiecewiseQuadraticCouplingTransform,
     )
     from nflows_tpu.transforms.base import CompositeTransform
@@ -116,6 +117,10 @@ def test_one_kernel_families():
         "cubic": (PiecewiseCubicCouplingTransform, dict(num_bins=4)),
         "affine": (AffineCouplingTransform, {}),
         "additive": (AdditiveCouplingTransform, {}),
+        # lrs exercises the min_lambda spline_kw plumbing through the
+        # one-kernel path (the fixtures only cover rq)
+        "lrs": (PiecewiseLinearRationalCouplingTransform,
+                dict(num_bins=4)),
     }
     d = 6
     for family, (cls, extra) in sorted(couplings.items()):
