@@ -560,8 +560,22 @@ def _packed_select(x, P, *, K, T, inverse, B, min_bin_width,
     last = (gidx == K - 1).astype(f32)
 
     def mm(a, b):
+        # Structural 0/1 matmuls CARRY fp32 VALUES (bin edges, the sample
+        # broadcast, one-hot selects). On TPU the MXU truncates fp32
+        # inputs to bf16 at DEFAULT precision, which moves bin edges by
+        # ~1e-2 relative and lands samples in the wrong bin (measured
+        # round-4: 0.25-class output errors + inverse NaNs on hardware,
+        # while CPU tests pass — fp32 dots are exact there). HIGHEST keeps
+        # the products fp32-exact. A cheaper 2-pass hi/lo bf16 split of
+        # the value operand (exploiting the 0/1 left operand being
+        # bf16-exact) was A/B'd on hardware: ~8% faster than HIGHEST
+        # end-to-end but with 2-3x worse numerics (out err 1.1e-3 vs
+        # 4.4e-4) — and BOTH lose to the unpacked form, so this opt-in
+        # path keeps the best-numerics choice. Mosaic supports only
+        # DEFAULT/HIGHEST in-kernel (HIGH raises NotImplementedError).
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
 
     def normalize_packed(V, min_size):
         vmax = _fold_max(V, K, T)                        # [T, R]
@@ -668,7 +682,20 @@ def _rq_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
     results can differ from the unpacked variant by ~1 ulp; bin-edge
     consistency is exact because adjacent-group left/right edges are
     bit-identical copies (0/1 shift matrices), so every sample lands in
-    exactly one bin.
+    exactly one bin. The structural matmuls must run at HIGHEST precision
+    (see ``mm`` in :func:`_packed_select`) — at the MXU's DEFAULT bf16
+    truncation they move bin edges enough to land samples in the wrong
+    bin on hardware.
+
+    Round-4 verdict (BASELINE.md "Packed-sublane A/B"): once the
+    structural matmuls are value-exact, the packed form measures ~28%
+    SLOWER end-to-end than the unpacked skinny chain at the flagship
+    K=8/T=3 (bench_fused_nsf, 262k samples: 59.8 ms unpacked vs 76.5 ms
+    packed-HIGHEST; a 2-pass hi/lo bf16 split recovers ~8% of that but
+    has 2-3x worse numerics) — the round-3 1.6x "win" was an artifact of
+    the then-broken truncated math, which timed the same as unpacked.
+    The path stays opt-in and correct; the sublane ceiling stands, now
+    with a measured explanation.
     """
     K = num_bins
     if K < 2:
