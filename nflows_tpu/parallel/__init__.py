@@ -6,6 +6,7 @@ from nflows_tpu.parallel.mesh import (
     shard_batch,
 )
 from nflows_tpu.parallel.elementwise import make_feature_sharded_elementwise
+from nflows_tpu.parallel.fsdp import apply_fsdp, fsdp_sharding
 from nflows_tpu.parallel.pipeline import (
     make_pipeline_mesh,
     make_pipelined_transform,
