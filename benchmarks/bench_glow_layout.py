@@ -35,11 +35,15 @@ def main():
     init_x = jnp.asarray(rng.normal(size=(64, 3, 32, 32)), jnp.float32)
 
     def build(stacked):
+        # conv_layout="auto": defer to the config.conv_layout() toggle this
+        # bench sweeps (GlowFlow's default would otherwise pin the
+        # measured-fastest layout per coupling and defeat the A/B)
         flow = GlowFlow(image_shape=(3, 32, 32), num_levels=2,
                         steps_per_level=4, hidden_channels=64,
                         coupling=args.coupling, num_bins=4,
                         key=jax.random.key(0),
-                        rng=np.random.default_rng(0), stacked=stacked)
+                        rng=np.random.default_rng(0), stacked=stacked,
+                        conv_layout="auto")
         return flow.initialize_actnorms(init_x)
 
     def bench(flow, tag):

@@ -38,7 +38,14 @@ class GlowFlow(Flow):
 
     def __init__(self, image_shape, num_levels=2, steps_per_level=4,
                  hidden_channels=64, coupling="affine", num_bins=4,
-                 key=None, rng=None, stacked=False):
+                 key=None, rng=None, stacked=False, conv_layout=None):
+        # conv_layout=None auto-picks the measured-fastest internal conv
+        # layout per coupling family (benchmarks/bench_glow_layout.py,
+        # TPU v5-lite 2026-08-20): NHWC wins for affine couplings
+        # (134.8k vs 129.4k img/s), NCHW for spline couplings (102.2k vs
+        # 98.3k). Arrays stay NCHW at every module boundary either way.
+        if conv_layout is None:
+            conv_layout = "nhwc" if coupling == "affine" else "nchw"
         key = ensure_key(key)
         if rng is None:
             # derive permutation/1x1-conv randomness from `key` so
@@ -64,7 +71,8 @@ class GlowFlow(Flow):
                 def create_net(in_c, out_c, _k=layer_key):
                     return ConvResidualNet(in_c, out_c,
                                            hidden_channels=hidden_channels,
-                                           num_blocks=2, key=_k)
+                                           num_blocks=2, key=_k,
+                                           conv_layout=conv_layout)
 
                 mask = create_mid_split_binary_mask(sc)
                 if coupling == "affine":

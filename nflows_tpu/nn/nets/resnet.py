@@ -173,20 +173,24 @@ class ConvResidualBlock(Module):
 
     def __init__(self, channels, context_channels=None, key=None,
                  activation=jax.nn.relu, dropout_probability=0.0,
-                 use_batch_norm=False, zero_initialization=True):
+                 use_batch_norm=False, zero_initialization=True,
+                 conv_layout="auto"):
         key = ensure_key(key)
         k0, k1, kc = jax.random.split(key, 3)
         self.activation = activation
         self.batch_norm_0 = _BatchScale(channels) if use_batch_norm else None
         self.batch_norm_1 = _BatchScale(channels) if use_batch_norm else None
         self.context_layer = (
-            Conv2d(context_channels, channels, kernel_size=1, padding=0, key=kc)
+            Conv2d(context_channels, channels, kernel_size=1, padding=0,
+                   key=kc, layout=conv_layout)
             if context_channels is not None else None
         )
-        self.conv_0 = Conv2d(channels, channels, kernel_size=3, padding=1, key=k0)
+        self.conv_0 = Conv2d(channels, channels, kernel_size=3, padding=1,
+                             key=k0, layout=conv_layout)
         self.conv_1 = Conv2d(
             channels, channels, kernel_size=3, padding=1, key=k1,
             w_init_scale=1e-3 if zero_initialization else None,
+            layout=conv_layout,
         )
         self.dropout = Dropout(dropout_probability)
 
@@ -221,14 +225,15 @@ class ConvResidualNet(Module):
     def __init__(self, in_channels, out_channels, hidden_channels,
                  context_channels=None, num_blocks=2, key=None,
                  activation=jax.nn.relu, dropout_probability=0.0,
-                 use_batch_norm=False):
+                 use_batch_norm=False, conv_layout="auto"):
         key = ensure_key(key)
         keys = jax.random.split(key, num_blocks + 2)
         self.context_channels = context_channels
         self.hidden_channels = hidden_channels
         in_total = in_channels + (context_channels or 0)
         self.initial_layer = Conv2d(in_total, hidden_channels, kernel_size=1,
-                                    padding=0, key=keys[0])
+                                    padding=0, key=keys[0],
+                                    layout=conv_layout)
         self.blocks = tuple(
             ConvResidualBlock(
                 channels=hidden_channels,
@@ -237,11 +242,13 @@ class ConvResidualNet(Module):
                 activation=activation,
                 dropout_probability=dropout_probability,
                 use_batch_norm=use_batch_norm,
+                conv_layout=conv_layout,
             )
             for i in range(num_blocks)
         )
         self.final_layer = Conv2d(hidden_channels, out_channels, kernel_size=1,
-                                  padding=0, key=keys[-1])
+                                  padding=0, key=keys[-1],
+                                  layout=conv_layout)
 
     def __call__(self, inputs, context=None, key=None):
         if context is None:

@@ -79,10 +79,11 @@ class Conv2d(Module):
     bias: Optional[jnp.ndarray]
     stride: tuple = static()
     padding: tuple = static()
+    layout: str = static()
 
     def __init__(self, in_channels: int, out_channels: int, kernel_size,
                  key=None, stride=1, padding=0, use_bias: bool = True,
-                 w_init_scale: Optional[float] = None):
+                 w_init_scale: Optional[float] = None, layout: str = "auto"):
         key = ensure_key(key)
         wkey, bkey = jax.random.split(key)
         if isinstance(kernel_size, int):
@@ -109,11 +110,17 @@ class Conv2d(Module):
             self.bias = None
         self.stride = tuple(stride)
         self.padding = tuple(padding)
+        if layout not in ("auto", "nchw", "nhwc"):
+            raise ValueError("layout must be 'auto', 'nchw', or 'nhwc'")
+        self.layout = layout
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from nflows_tpu.config import conv_layout
 
-        if conv_layout() == "nhwc":
+        # per-instance override beats the global config switch; 'auto'
+        # (the default) defers to config.conv_layout()
+        layout = self.layout if self.layout != "auto" else conv_layout()
+        if layout == "nhwc":
             # TPU-native layout: channels ride the lanes. Arrays stay NCHW
             # at module boundaries; XLA folds the adjacent transposes
             # between consecutive convs (see config.conv_layout).

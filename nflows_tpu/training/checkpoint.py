@@ -65,18 +65,37 @@ class CheckpointManager:
 
     Thin wrapper over orbax CheckpointManager: ``save(step, state)`` /
     ``restore(template, step=None)`` / ``latest_step()``.
+
+    Saves are ASYNC by default: ``save`` snapshots the arrays to host and
+    returns while serialization/writes proceed on a background thread, so
+    checkpointing overlaps the next training dispatches instead of
+    stalling the step loop (the snapshot is taken before ``save`` returns,
+    so donated/updated buffers cannot corrupt it). ``restore``/``close``
+    barrier on any in-flight write; call ``wait_until_finished()`` to
+    barrier explicitly (e.g. before reading the checkpoint directory from
+    another process). ``async_save=False`` restores write-through saves.
     """
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
         import orbax.checkpoint as ocp
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=async_save,
+            ),
         )
 
     def save(self, step: int, state: Any) -> None:
         import orbax.checkpoint as ocp
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Barrier on any in-flight async save."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -84,6 +103,7 @@ class CheckpointManager:
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
         import orbax.checkpoint as ocp
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         return self._mgr.restore(

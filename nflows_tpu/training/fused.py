@@ -18,7 +18,8 @@ from __future__ import annotations
 __all__ = ["fused_trainer"]
 
 
-def fused_trainer(flow, batch_size, interpret=None, required=True):
+def fused_trainer(flow, batch_size, interpret=None, required=True,
+                  auto=False):
     """Return the fused trainer matching ``flow``'s structure.
 
     Args:
@@ -29,6 +30,18 @@ def fused_trainer(flow, batch_size, interpret=None, required=True):
             off-TPU, compiled on TPU).
         required: when False, return ``None`` instead of raising if no
             kernel matches (the caller falls back to the XLA chain).
+        auto: when True, also return ``None`` when the measured
+            fused-vs-XLA training crossover says the XLA chain is faster
+            for this (family, batch_size) — the megakernels' training win
+            is a large-batch HBM-traffic win (TPU v5-lite, 2026-08-20,
+            benchmarks/bench_fused_train.py; BASELINE.md "Round 4
+            measurements"): NSF coupling fused = 1.35-1.76x XLA at batch
+            >= 2048 but 0.94-1.01x at 512, while the MAF and MADEMoG
+            fused paths LOSE at every measured batch (0.82-0.98x — their
+            XLA chains are single-MADE-pass programs with little residual
+            traffic to save). IAF's variational trainer has no XLA
+            equivalent measured against it and is always returned.
+            Implies ``required=False``.
     """
     from nflows_tpu.ops.pallas.mademog_train import FusedMADEMoGTrainer
     from nflows_tpu.ops.pallas.maf_train import (
@@ -41,14 +54,28 @@ def fused_trainer(flow, batch_size, interpret=None, required=True):
         raise ValueError(
             f"batch_size={batch_size} must be a multiple of 128 (the "
             "kernel lane width)")
+    # Measured training crossovers (see `auto` docstring). None = the
+    # fused path never beat the XLA chain at any measured batch.
+    min_auto_batch = {
+        FusedNSFTrainer: 1024,
+        FusedMAFTrainer: None,
+        FusedMADEMoGTrainer: None,
+        FusedIAFTrainer: 0,  # VI trainer: no XLA head-to-head exists
+    }
     errors = []
     for cls in (FusedNSFTrainer, FusedMAFTrainer, FusedIAFTrainer,
                 FusedMADEMoGTrainer):
         try:
-            return cls(flow, batch_size=batch_size, interpret=interpret)
+            trainer = cls(flow, batch_size=batch_size, interpret=interpret)
         except (ValueError, AttributeError) as e:
             errors.append(f"{cls.__name__}: {e}")
-    if not required:
+            continue
+        if auto:
+            floor = min_auto_batch[cls]
+            if floor is None or batch_size < floor:
+                return None
+        return trainer
+    if auto or not required:
         return None
     raise ValueError(
         "this flow matches no fused training kernel — train it on the "

@@ -62,3 +62,34 @@ def test_checkpoint_manager_rotation(tmp_path):
     restored = mgr.restore(template)
     assert int(restored.step) == 4
     mgr.close()
+
+
+def test_async_save_overlaps_and_restores_exactly(tmp_path):
+    """Async (default) saves return before the write completes; restore
+    barriers on the in-flight write and round-trips exactly. sync mode
+    (async_save=False) writes through."""
+    flow, opt, state = _state()
+    step = make_train_step(opt, donate=False)
+    x = jax.random.normal(jax.random.key(1), (32, 3))
+
+    mgr = CheckpointManager(str(tmp_path / "arun"), max_to_keep=2)
+    state, _ = step(state, x)
+    mgr.save(int(state.step), state)
+    # training continues while the write is in flight; the snapshot must
+    # be of the state AT save time, not the stepped-past state
+    stepped, _ = step(state, x)
+    _, _, template = _state()
+    restored = mgr.restore(template)  # barriers internally
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.wait_until_finished()  # explicit barrier is also public API
+    mgr.close()
+
+    sync = CheckpointManager(str(tmp_path / "srun"), async_save=False)
+    sync.save(int(stepped.step), stepped)
+    restored2 = sync.restore(template)
+    for a, b in zip(jax.tree_util.tree_leaves(stepped.params),
+                    jax.tree_util.tree_leaves(restored2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sync.close()

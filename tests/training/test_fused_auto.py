@@ -149,3 +149,51 @@ def test_fused_trainer_composes_with_run_training(tmp_path):
         np.testing.assert_array_equal(np.asarray(resumed.params[k]),
                                       np.asarray(straight.params[k]),
                                       err_msg=k)
+
+
+def test_auto_applies_measured_crossover():
+    """auto=True routes by the measured fused-vs-XLA training crossover
+    (BASELINE.md "Round 4 measurements"): NSF fused only from batch 1024,
+    MAF/MADEMoG never, IAF (VI, no XLA head-to-head) always."""
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.models import (
+        InverseAutoregressiveFlow,
+        NeuralSplineFlow,
+    )
+    from nflows_tpu.ops.pallas.maf_train import FusedIAFTrainer
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+    nsf = NeuralSplineFlow(features=4, hidden_features=16, num_layers=2,
+                           num_blocks_per_layer=1, num_bins=4,
+                           key=jax.random.key(0),
+                           rng=np.random.default_rng(0))
+    assert fused_trainer(nsf, batch_size=512, interpret=True,
+                         auto=True) is None
+    assert isinstance(
+        fused_trainer(nsf, batch_size=2048, interpret=True, auto=True),
+        FusedNSFTrainer)
+
+    maf = MaskedAutoregressiveFlow(
+        features=4, hidden_features=16, num_layers=2,
+        num_blocks_per_layer=1, use_random_permutations=True,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    assert fused_trainer(maf, batch_size=8192, interpret=True,
+                         auto=True) is None
+
+    iaf = InverseAutoregressiveFlow(features=4, hidden_features=16,
+                                    num_layers=2, num_blocks_per_layer=1,
+                                    key=jax.random.key(0))
+    assert isinstance(
+        fused_trainer(iaf, batch_size=128, interpret=True, auto=True),
+        FusedIAFTrainer)
+
+
+def test_auto_implies_not_required():
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.transforms import LULinear
+
+    flow = Flow(transform=LULinear(4, key=jax.random.key(0)),
+                distribution=StandardNormal([4]))
+    assert fused_trainer(flow, batch_size=2048, interpret=True,
+                         auto=True) is None
