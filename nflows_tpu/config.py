@@ -31,6 +31,9 @@ _state = {
     # [T, R] ops. See nsf_flow_kernel._rq_spline_TR_packed. None currently
     # resolves to False (unpacked) pending TPU measurement; True opts in.
     "packed_spline_select": None,
+    # Per-family overrides of the fused-training auto-crossover floors
+    # (see fused_train_crossover()).
+    "fused_train_crossover": {},
 }
 
 
@@ -81,6 +84,42 @@ def packed_spline_select(enable=None):
     return False if setting is None else setting
 
 
+def fused_train_crossover(overrides: dict = None) -> dict:
+    """Get/set overrides for ``training.fused_trainer(auto=True)`` floors.
+
+    ``auto=True`` picks fused vs XLA training per (family, batch) from a
+    measured crossover table whose DEFAULTS are TPU v5-lite measurements
+    (2026-08-20; BASELINE.md "Round 4/5 measurements"). On a different TPU
+    generation — or after a toolchain update — re-measure with::
+
+        python benchmarks/bench_fused_train.py --family nsf --batch 512 ...
+        (and --family maf / mademog)
+
+    and install the new floors here. ``overrides`` maps family name
+    (``'nsf'``, ``'maf'``, ``'mademog'``, ``'iaf'``) to the minimum batch
+    size at which the fused trainer wins (``None`` = the fused path never
+    wins, always use the XLA chain; ``0`` = always fused). Families not
+    named keep their defaults; repeated calls merge. Pass ``{}``-valued
+    sentinel ``clear_fused_train_crossover()`` to reset. Returns the
+    current override dict (NOT merged with defaults — the merge happens
+    in ``training.fused_trainer``).
+    """
+    if overrides is not None:
+        valid = {"nsf", "maf", "mademog", "iaf"}
+        bad = set(overrides) - valid
+        if bad:
+            raise ValueError(
+                f"unknown fused-trainer families {sorted(bad)}; "
+                f"valid: {sorted(valid)}")
+        _state["fused_train_crossover"].update(overrides)
+    return dict(_state["fused_train_crossover"])
+
+
+def clear_fused_train_crossover() -> None:
+    """Reset fused-training crossover floors to the measured defaults."""
+    _state["fused_train_crossover"] = {}
+
+
 def set_matmul_precision(precision: str = "bfloat16") -> None:
     """Set the default MXU matmul precision for fp32 operands.
 
@@ -104,6 +143,12 @@ def conv_layout(layout: str = None) -> str:
     emitter tiles natively (channels on lanes), so conv-heavy image flows
     avoid a per-conv re-layout. Numerics are identical either way
     (tests/nn/test_nets.py); measure with benchmarks/bench_glow_layout.py.
+
+    Precedence note: this global applies to convs built with
+    ``layout='auto'``. ``GlowFlow`` pins a measured per-instance layout by
+    DEFAULT (NHWC for affine couplings, NCHW for spline couplings), which
+    bypasses this setting — pass ``GlowFlow(..., conv_layout='auto')`` to
+    make a Glow model follow the global toggle.
     """
     if layout is not None:
         layout = layout.lower()

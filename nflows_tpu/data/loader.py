@@ -3,8 +3,11 @@
 The native loader (data/native/dataloader.cpp) keeps a bounded ring of
 pre-gathered batches filled by background C++ threads, so the jitted train
 step never waits on host-side shuffling/gathering. It is compiled on first
-use with g++ (cached next to the source) and bound via ctypes — no
-pybind11 dependency.
+use with g++ — into a per-user cache directory keyed by a source digest,
+never into the source tree, so no binary artifact ever sits (or gets
+committed) next to the .cpp — and bound via ctypes, no pybind11
+dependency. If g++ is unavailable the pure-numpy loader takes over with
+the same iterator contract.
 """
 
 from __future__ import annotations
@@ -25,10 +28,18 @@ _lib = None
 _lib_error = None
 
 
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    path = os.path.join(base, "nflows_tpu")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _build_library() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(os.path.dirname(_SRC), f"libnflowsdata_{digest}.so")
+    out = os.path.join(_cache_dir(), f"libnflowsdata_{digest}.so")
     if not os.path.exists(out):
         # compile to a process-unique temp path and rename into place so
         # concurrent processes never CDLL a half-written file (rename is

@@ -34,7 +34,14 @@ __all__ = ["GlowFlow"]
 
 
 class GlowFlow(Flow):
-    """Multiscale Glow for NCHW images of shape (C, H, W)."""
+    """Multiscale Glow for NCHW images of shape (C, H, W).
+
+    ``conv_layout`` precedence: ``None`` (default) auto-picks the
+    measured-fastest per-instance layout per coupling family, which takes
+    priority over the global ``config.conv_layout()`` toggle — pass
+    ``conv_layout='auto'`` to defer to the global setting instead, or
+    ``'nchw'``/``'nhwc'`` to pin one explicitly.
+    """
 
     def __init__(self, image_shape, num_levels=2, steps_per_level=4,
                  hidden_channels=64, coupling="affine", num_bins=4,

@@ -46,14 +46,14 @@ __all__ = ["fsdp_sharding", "apply_fsdp"]
 _MIN_SHARD_ELEMENTS = 8192
 
 
-def _shard_spec(shape, n) -> Optional[P]:
+def _shard_spec(shape, n, min_shard_elements) -> Optional[P]:
     """PartitionSpec sharding ONE dimension over the data axis, or None.
 
     Picks the largest dimension divisible by ``n`` (ties -> first), so
     [H, H] conditioner weights shard rows, [3K-1, H]-style heads shard
     the H column, and biases shard their only dim when long enough.
     """
-    if not shape or int(np.prod(shape)) < _MIN_SHARD_ELEMENTS:
+    if not shape or int(np.prod(shape)) < min_shard_elements:
         return None
     divisible = [d for d, s in enumerate(shape) if s % n == 0 and s >= n]
     if not divisible:
@@ -64,7 +64,8 @@ def _shard_spec(shape, n) -> Optional[P]:
     return P(*spec)
 
 
-def fsdp_sharding(flow, mesh: Mesh, respect=None):
+def fsdp_sharding(flow, mesh: Mesh, respect=None,
+                  min_shard_elements: int = _MIN_SHARD_ELEMENTS):
     """Pytree of NamedShardings (or None = leave as-is) for ``flow``.
 
     Every floating-point array leaf big enough to matter is sharded along
@@ -73,6 +74,10 @@ def fsdp_sharding(flow, mesh: Mesh, respect=None):
     ``respect`` is an optional pytree of shardings (e.g. from
     :func:`~nflows_tpu.parallel.train.tensor_parallel_sharding`) whose
     non-replicated entries are preserved untouched.
+    ``min_shard_elements`` sets the leaf-size floor below which leaves
+    stay replicated (default 8192 elements = 32 KiB fp32); lower it for
+    small test models, raise it to keep more latency-bound collectives
+    off narrow layers.
     """
     n = mesh.shape["data"]
     rep = NamedSharding(mesh, P())
@@ -88,7 +93,7 @@ def fsdp_sharding(flow, mesh: Mesh, respect=None):
             return r
         if not jnp.issubdtype(x.dtype, jnp.floating):
             return rep
-        spec = _shard_spec(x.shape, n)
+        spec = _shard_spec(x.shape, n, min_shard_elements)
         return NamedSharding(mesh, spec) if spec is not None else rep
 
     if respect is None:
@@ -98,7 +103,8 @@ def fsdp_sharding(flow, mesh: Mesh, respect=None):
         is_leaf=lambda x: x is None)
 
 
-def apply_fsdp(flow, mesh: Mesh, respect=None):
+def apply_fsdp(flow, mesh: Mesh, respect=None,
+               min_shard_elements: int = _MIN_SHARD_ELEMENTS):
     """device_put ``flow`` with :func:`fsdp_sharding` shardings.
 
     The returned flow's arrays are sharded over ``data``;
@@ -107,8 +113,10 @@ def apply_fsdp(flow, mesh: Mesh, respect=None):
     ``make_gspmd_train_step`` trains with XLA-placed all-gathers /
     reduce-scatters. Checkpointing via ``training.checkpoint`` is
     sharding-preserving, so FSDP states save/restore unchanged.
+    ``min_shard_elements`` is forwarded to :func:`fsdp_sharding`.
     """
-    shardings = fsdp_sharding(flow, mesh, respect=respect)
+    shardings = fsdp_sharding(flow, mesh, respect=respect,
+                              min_shard_elements=min_shard_elements)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s) if s is not None else x,
         flow, shardings,

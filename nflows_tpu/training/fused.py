@@ -18,7 +18,22 @@ from __future__ import annotations
 __all__ = ["fused_trainer"]
 
 
-def fused_trainer(flow, batch_size, interpret=None, required=True,
+# Measured fused-vs-XLA training crossovers: minimum batch at which the
+# fused trainer wins (None = the fused path never beat the XLA chain at
+# any measured batch; 0 = always fused). HARDWARE-SPECIFIC: measured on
+# TPU v5-lite, 2026-08-20/21 (benchmarks/bench_fused_train.py; BASELINE.md
+# "Round 4/5 measurements") — on another TPU generation or after a
+# toolchain update, re-measure and install new floors with
+# ``config.fused_train_crossover({...})``.
+_DEFAULT_MIN_AUTO_BATCH = {
+    "nsf": 1024,
+    "maf": None,
+    "mademog": None,
+    "iaf": 0,  # VI trainer: no XLA head-to-head exists
+}
+
+
+def fused_trainer(flow, batch_size, interpret=None, required=None,
                   auto=False):
     """Return the fused trainer matching ``flow``'s structure.
 
@@ -30,6 +45,10 @@ def fused_trainer(flow, batch_size, interpret=None, required=True,
             off-TPU, compiled on TPU).
         required: when False, return ``None`` instead of raising if no
             kernel matches (the caller falls back to the XLA chain).
+            Defaults to ``not auto``; passing ``required=True`` together
+            with ``auto=True`` still raises when the flow matches NO
+            kernel (a misconfigured flow), while a matching flow that the
+            crossover routes to XLA returns ``None`` as usual.
         auto: when True, also return ``None`` when the measured
             fused-vs-XLA training crossover says the XLA chain is faster
             for this (family, batch_size) — the megakernels' training win
@@ -40,9 +59,11 @@ def fused_trainer(flow, batch_size, interpret=None, required=True,
             fused paths LOSE at every measured batch (0.82-0.98x — their
             XLA chains are single-MADE-pass programs with little residual
             traffic to save). IAF's variational trainer has no XLA
-            equivalent measured against it and is always returned.
-            Implies ``required=False``.
+            equivalent measured against it and is always returned. The
+            floors are TPU v5-lite measurements; on other hardware
+            override them via ``config.fused_train_crossover``.
     """
+    from nflows_tpu import config
     from nflows_tpu.ops.pallas.mademog_train import FusedMADEMoGTrainer
     from nflows_tpu.ops.pallas.maf_train import (
         FusedIAFTrainer,
@@ -50,18 +71,20 @@ def fused_trainer(flow, batch_size, interpret=None, required=True,
     )
     from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
 
+    if required is None:
+        required = not auto
     if batch_size % 128:
         raise ValueError(
             f"batch_size={batch_size} must be a multiple of 128 (the "
             "kernel lane width)")
-    # Measured training crossovers (see `auto` docstring). None = the
-    # fused path never beat the XLA chain at any measured batch.
-    min_auto_batch = {
-        FusedNSFTrainer: 1024,
-        FusedMAFTrainer: None,
-        FusedMADEMoGTrainer: None,
-        FusedIAFTrainer: 0,  # VI trainer: no XLA head-to-head exists
+    family = {
+        FusedNSFTrainer: "nsf",
+        FusedMAFTrainer: "maf",
+        FusedMADEMoGTrainer: "mademog",
+        FusedIAFTrainer: "iaf",
     }
+    min_auto_batch = dict(_DEFAULT_MIN_AUTO_BATCH)
+    min_auto_batch.update(config.fused_train_crossover())
     errors = []
     for cls in (FusedNSFTrainer, FusedMAFTrainer, FusedIAFTrainer,
                 FusedMADEMoGTrainer):
@@ -71,11 +94,11 @@ def fused_trainer(flow, batch_size, interpret=None, required=True,
             errors.append(f"{cls.__name__}: {e}")
             continue
         if auto:
-            floor = min_auto_batch[cls]
+            floor = min_auto_batch[family[cls]]
             if floor is None or batch_size < floor:
                 return None
         return trainer
-    if auto or not required:
+    if not required:
         return None
     raise ValueError(
         "this flow matches no fused training kernel — train it on the "

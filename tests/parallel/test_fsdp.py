@@ -163,3 +163,31 @@ def test_fsdp_sharding_skips_small_and_integer_leaves():
             assert not sharded  # permutation indices etc. stay replicated
         if leaf.size < 8192:
             assert not sharded
+
+
+def test_min_shard_elements_kwarg():
+    """The leaf-size floor is a public knob: lowering it shards leaves the
+    default (8192 elements) would leave replicated."""
+    mesh = make_mesh(data=8)
+    flow = NeuralSplineFlow(features=6, hidden_features=32, num_layers=2,
+                            num_blocks_per_layer=1, num_bins=4,
+                            key=jax.random.key(0),
+                            rng=np.random.default_rng(0))
+
+    def n_sharded(f):
+        return sum(
+            1 for leaf in jax.tree_util.tree_leaves(f)
+            if hasattr(leaf, "sharding")
+            and any(s is not None
+                    for s in getattr(leaf.sharding, "spec", ())))
+
+    default = apply_fsdp(flow, mesh)
+    small = apply_fsdp(flow, mesh, min_shard_elements=64)
+    assert n_sharded(small) > n_sharded(default)
+    # fsdp_sharding accepts it too (apply_fsdp just forwards)
+    specs = fsdp_sharding(flow, mesh, min_shard_elements=64)
+    sharded_specs = [
+        s for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: x is None)
+        if s is not None and any(a is not None for a in s.spec)]
+    assert len(sharded_specs) == n_sharded(small)

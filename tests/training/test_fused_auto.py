@@ -197,3 +197,69 @@ def test_auto_implies_not_required():
                 distribution=StandardNormal([4]))
     assert fused_trainer(flow, batch_size=2048, interpret=True,
                          auto=True) is None
+
+
+def test_crossover_override_flips_auto_selection():
+    """config.fused_train_crossover overrides the measured floors (the
+    defaults are TPU v5-lite numbers; other hardware re-measures with
+    benchmarks/bench_fused_train.py and installs new floors here)."""
+    from nflows_tpu import config
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas.maf_train import FusedMAFTrainer
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+    nsf = NeuralSplineFlow(features=4, hidden_features=16, num_layers=2,
+                           num_blocks_per_layer=1, num_bins=4,
+                           key=jax.random.key(0),
+                           rng=np.random.default_rng(0))
+    maf = MaskedAutoregressiveFlow(
+        features=4, hidden_features=16, num_layers=2,
+        num_blocks_per_layer=1, use_random_permutations=True,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    try:
+        # NSF default floor is 1024 -> batch 512 routes to XLA; lower it.
+        config.fused_train_crossover({"nsf": 512})
+        assert isinstance(
+            fused_trainer(nsf, batch_size=512, interpret=True, auto=True),
+            FusedNSFTrainer)
+        # MAF default is never-fused; flip it on.
+        config.fused_train_crossover({"maf": 0})
+        assert isinstance(
+            fused_trainer(maf, batch_size=128, interpret=True, auto=True),
+            FusedMAFTrainer)
+        # NSF override still in force (calls merge).
+        assert config.fused_train_crossover() == {"nsf": 512, "maf": 0}
+    finally:
+        config.clear_fused_train_crossover()
+    # Back to defaults after clearing.
+    assert fused_trainer(nsf, batch_size=512, interpret=True,
+                         auto=True) is None
+    assert fused_trainer(maf, batch_size=8192, interpret=True,
+                         auto=True) is None
+    with pytest.raises(ValueError, match="unknown"):
+        config.fused_train_crossover({"glow": 128})
+
+
+def test_explicit_required_raises_under_auto_on_no_match():
+    """auto=True + explicit required=True distinguishes 'no kernel
+    matches' (a misconfigured flow -> raise) from 'crossover says XLA'
+    (-> None)."""
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows import MaskedAutoregressiveFlow
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.transforms import LULinear
+
+    flow = Flow(transform=LULinear(4, key=jax.random.key(0)),
+                distribution=StandardNormal([4]))
+    with pytest.raises(ValueError, match="no fused training kernel"):
+        fused_trainer(flow, batch_size=2048, interpret=True, auto=True,
+                      required=True)
+    # ... but a MATCHING flow that the crossover routes to XLA stays None
+    # even with required=True.
+    maf = MaskedAutoregressiveFlow(
+        features=4, hidden_features=16, num_layers=2,
+        num_blocks_per_layer=1, use_random_permutations=True,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    assert fused_trainer(maf, batch_size=2048, interpret=True, auto=True,
+                         required=True) is None
