@@ -23,9 +23,12 @@ def main():
     p.add_argument("--context", type=int, default=0,
                    help="context_features (0 = unconditional); measures "
                         "the round-3 conditional fused path")
-    p.add_argument("--packed", action="store_true",
+    p.add_argument("--packed", nargs="?", const="mm", default=None,
+                   choices=["mm", "roll"],
                    help="use the packed-sublane spline stage "
-                        "(config.packed_spline_select) in the megakernel")
+                        "(config.packed_spline_select) in the megakernel: "
+                        "'mm' = kron matmul form, 'roll' = pltpu roll/"
+                        "repeat structural moves (round 5)")
     args = p.parse_args()
 
     import jax
@@ -38,7 +41,7 @@ def main():
     from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
 
     if args.packed:
-        config.packed_spline_select(True)
+        config.packed_spline_select(args.packed)
 
     ctx_f = args.context or None
     flow = NeuralSplineFlow(

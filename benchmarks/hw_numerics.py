@@ -59,10 +59,10 @@ def main():
     z = jnp.asarray(rng.normal(size=(N, 6)), jnp.float32)
     z_ref, lad_f_ref = jax.jit(flow.transform.forward)(x)
     x_ref, lad_i_ref = jax.jit(flow.transform.inverse)(z)
-    for packed in (False, True):
+    for packed in (False, "mm", "roll"):
         config.packed_spline_select(packed)
         fused = fuse_nsf(flow)
-        tag = "packed" if packed else "unpacked"
+        tag = f"packed-{packed}" if packed else "unpacked"
         zf, lf = fused.forward(x)
         xf, li = fused.inverse(z)
         check(f"nsf {tag} fwd out", float(jnp.max(jnp.abs(zf - z_ref))), 5e-3)
@@ -84,6 +84,20 @@ def main():
         float(jnp.max(jnp.abs(a - b)))
         for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_f2)))
     check("nsf fused-train grads (one-kernel vs split vjp)", gerr, 5e-3)
+
+    # --- fused NSF training with the roll-based packed stage (round 5):
+    # pltpu.roll/repeat structural moves are exact copies, so loss+grads
+    # must sit in the same band as the unpacked kernel ---
+    config.packed_spline_select("roll")
+    tr_roll = FusedNSFTrainer(flow, batch_size=128)
+    loss_r, grads_r = tr_roll._value_and_grad()(tr_roll.weights, xb.T)
+    config.packed_spline_select(False)
+    check("nsf fused-train roll loss", abs(float(loss_r) - loss_x), 5e-3)
+    gerr_r = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(grads_r), jax.tree.leaves(grads_f)))
+    check("nsf fused-train roll grads (vs unpacked one-kernel)", gerr_r,
+          5e-3)
 
     # --- conditional NSF serving ---
     cflow = NeuralSplineFlow(

@@ -77,9 +77,20 @@ def set_pallas_splines(enable: bool) -> None:
 
 
 def packed_spline_select(enable=None):
-    """Get/set the megakernel's packed-sublane spline stage (see _state)."""
+    """Get/set the megakernel's packed-sublane spline stage (see _state).
+
+    Values: ``False`` = unpacked skinny [T, R] chain (default);
+    ``'roll'`` = packed [K*T, R] with roll/repeat structural moves
+    (exact fp32 copies, no MXU — round 5); ``'mm'`` or ``True`` = packed
+    with kron(S, I_T) HIGHEST-precision structural matmuls (round 3/4
+    form, measured slower than unpacked at the flagship — kept for A/B).
+    """
     if enable is not None:
-        _state["packed_spline_select"] = bool(enable)
+        if enable not in (False, True, "mm", "roll"):
+            raise ValueError(
+                "packed_spline_select must be False, True, 'mm' or "
+                f"'roll'; got {enable!r}")
+        _state["packed_spline_select"] = enable
     setting = _state["packed_spline_select"]
     return False if setting is None else setting
 

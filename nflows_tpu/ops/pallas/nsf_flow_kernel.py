@@ -46,6 +46,7 @@ kernel exists to win sampling/evaluation throughput.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Tuple
@@ -112,6 +113,41 @@ def _conditioner(identity, l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
     return _dot(w(wf_v, l, TM), h) + w(bf_v, l, TM)
 
 
+def _rq_eval_selected(x, sel_xw, sel_xh, sel_cw, sel_ch, sel_d0, sel_d1,
+                      inverse):
+    """RQ-spline evaluation from per-element SELECTED bin parameters —
+    the math shared verbatim by the unpacked and both packed front
+    halves (reference rational_quadratic.py:132-181). Returns
+    (out, logabsdet), both the shape of ``x``."""
+    delta = sel_xh / sel_xw
+    d_sum = sel_d0 + sel_d1 - 2.0 * delta
+
+    if inverse:
+        y_rel = x - sel_ch
+        a = y_rel * d_sum + sel_xh * (delta - sel_d0)
+        b = sel_xh * sel_d0 - y_rel * d_sum
+        c = -delta * y_rel
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        theta = (2.0 * c) / (-b - jnp.sqrt(disc))
+        out = theta * sel_xw + sel_cw
+    else:
+        theta = (x - sel_cw) / sel_xw
+        num = sel_xh * (delta * theta * theta + sel_d0 * theta * (1.0 - theta))
+        den = delta + d_sum * theta * (1.0 - theta)
+        out = sel_ch + num / den
+
+    tomt = theta * (1.0 - theta)
+    denominator = delta + d_sum * tomt
+    deriv_num = delta * delta * (
+        sel_d1 * theta * theta + 2.0 * delta * tomt
+        + sel_d0 * (1.0 - theta) * (1.0 - theta)
+    )
+    lad = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
+    if inverse:
+        lad = -lad
+    return out, lad
+
+
 def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
                   min_bin_width, min_bin_height, min_derivative):
     """Unconstrained (linear-tail) RQ spline on [T, R] tensors.
@@ -153,32 +189,8 @@ def _rq_spline_TR(x_in, P, *, num_bins, T, inverse, tail_bound,
         idx, K, bin_w, bin_h, edge_w[:K], edge_h[:K],
         derivs[:K], derivs[1:])
 
-    delta = sel_xh / sel_xw
-    d_sum = sel_d0 + sel_d1 - 2.0 * delta
-
-    if inverse:
-        y_rel = x - sel_ch
-        a = y_rel * d_sum + sel_xh * (delta - sel_d0)
-        b = sel_xh * sel_d0 - y_rel * d_sum
-        c = -delta * y_rel
-        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-        theta = (2.0 * c) / (-b - jnp.sqrt(disc))
-        out = theta * sel_xw + sel_cw
-    else:
-        theta = (x - sel_cw) / sel_xw
-        num = sel_xh * (delta * theta * theta + sel_d0 * theta * (1.0 - theta))
-        den = delta + d_sum * theta * (1.0 - theta)
-        out = sel_ch + num / den
-
-    tomt = theta * (1.0 - theta)
-    denominator = delta + d_sum * tomt
-    deriv_num = delta * delta * (
-        sel_d1 * theta * theta + 2.0 * delta * tomt
-        + sel_d0 * (1.0 - theta) * (1.0 - theta)
-    )
-    lad = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
-    if inverse:
-        lad = -lad
+    out, lad = _rq_eval_selected(x, sel_xw, sel_xh, sel_cw, sel_ch,
+                                 sel_d0, sel_d1, inverse)
 
     out = jnp.where(inside, out, x_orig)
     lad = jnp.where(inside, lad, jnp.zeros_like(lad))
@@ -623,6 +635,264 @@ def _packed_select(x, P, *, K, T, inverse, B, min_bin_width,
     return sel, onehot, mm, Ms
 
 
+# --- structural sublane moves for the roll-based packed spline stage ---
+#
+# pltpu.roll / pltpu.repeat are the dedicated Mosaic sublane-move ops (no
+# relayout search, unlike T-granularity concat networks — the round-3
+# compile-hang class), but they have no evaluation or differentiation
+# rules outside a Mosaic kernel. The helpers below are custom_vjp
+# wrappers: inside a kernel-body trace (the `_mosaic_moves` flag, set by
+# the kernel entry functions) they emit the pltpu ops; outside (tests
+# call the spline functions as pure jnp) they fall back to jnp
+# equivalents. Their VJPs are themselves structural moves, so the
+# training kernels' in-kernel `jax.vjp` differentiates the packed stage
+# without Mosaic ever seeing an underived primitive.
+
+_PLTPU_MOVES = [False]
+
+
+@contextlib.contextmanager
+def _mosaic_moves(enable=True):
+    prev = _PLTPU_MOVES[0]
+    _PLTPU_MOVES[0] = enable
+    try:
+        yield
+    finally:
+        _PLTPU_MOVES[0] = prev
+
+
+def _with_mosaic_moves(fn):
+    """Decorator for Mosaic kernel bodies: trace structural moves as
+    pltpu ops."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _mosaic_moves(True):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _roll_rows(x, shift):
+    """Cyclic roll along rows (sublanes): out[i] = x[(i - shift) % n]."""
+    if _PLTPU_MOVES[0]:
+        from jax.experimental.pallas import tpu as pltpu
+        return pltpu.roll(x, shift, 0)
+    return jnp.roll(x, shift, 0)
+
+
+def _roll_rows_fwd(x, shift):
+    return _roll_rows(x, shift), None
+
+
+def _roll_rows_bwd(shift, _, g):
+    n = g.shape[0]
+    return (_roll_rows(g, (n - shift) % n),)
+
+
+_roll_rows.defvjp(_roll_rows_fwd, _roll_rows_bwd)
+
+
+def _group_sum_tree(V, n, T):
+    """[nT, R] -> [T, R]: sum over n groups by a halving tree (the
+    `_fold_max` pattern — unaligned sublane slices + adds)."""
+    while n > 1:
+        m = n // 2
+        lo = V[:m * T] + V[m * T:2 * m * T]
+        if n % 2:
+            lo = jnp.concatenate([lo[:T] + V[2 * m * T:], lo[T:]], axis=0)
+        V, n = lo, m
+    return V
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _tile_groups(x, K, T):
+    """[T, R] -> [KT, R]: K stacked copies (kron(ones(K,1), I_T) @ x)."""
+    if _PLTPU_MOVES[0]:
+        from jax.experimental.pallas import tpu as pltpu
+        return pltpu.repeat(x, K, 0)
+    return jnp.concatenate([x] * K, axis=0)
+
+
+def _tile_groups_fwd(x, K, T):
+    return _tile_groups(x, K, T), None
+
+
+def _tile_groups_bwd(K, T, _, g):
+    return (_group_sum_tree(g, K, T),)
+
+
+_tile_groups.defvjp(_tile_groups_fwd, _tile_groups_bwd)
+
+
+def _packed_select_roll(x, P, *, K, T, inverse, B, min_bin_width,
+                        min_bin_height, min_derivative, deriv_offset):
+    """Packed-sublane spline front half with VPU-exact structural moves.
+
+    Third attack on the megakernel's skinny-[T, R] elementwise floor
+    (round-5; rounds 2-4 history in :func:`_rq_spline_TR_packed`). Same
+    selection semantics as :func:`_packed_select`, but every structural
+    move is an exact-COPY vector op instead of a ``kron(S, I_T)`` matmul:
+
+    - group broadcast = ``pltpu.repeat`` ([T, R] tiled K times),
+    - inclusive prefix-sum = Hillis-Steele over ``pltpu.roll`` sublane
+      shifts with iota masks zeroing the wrapped groups,
+    - the one-group edge shift = a single roll (its wrapped group is
+      overwritten by the exact boundary fix),
+    - one-hot select-reduce = one-hot multiply + halving tree-sum over
+      groups (unaligned sublane slices, the `_fold_max` pattern).
+
+    Rolls and repeats move fp32 values bit-untouched, so bin-edge
+    consistency (left edge of bin k == right edge of bin k-1, exactly)
+    holds like the matmul form — WITHOUT the ``Precision.HIGHEST`` tax
+    that made that form a measured net loss on hardware (DESIGN.md 3a,
+    round 4). Sums still reassociate (tree/prefix order vs the unpacked
+    running order), so results may differ from the unpacked variant by
+    ~1 ulp, same as the matmul form.
+    """
+    KT = K * T
+    f32 = jnp.float32
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (KT, 1), 0) // T
+    first = (gidx == 0).astype(f32)
+    last = (gidx == K - 1).astype(f32)
+
+    def group_prefix(V):
+        # inclusive prefix over K groups, LEFT-ASSOCIATED: K-1 dependent
+        # masked-roll steps give e[k] = b[k] + (b[k-1] + (... + b[0])),
+        # which is bitwise the unpacked running sum (fp add commutes, and
+        # the pairings coincide by induction) — so bin edges here equal
+        # the unpacked form's edges EXACTLY, not just to reassociation
+        # tolerance (a log-step Hillis-Steele prefix was measurably
+        # cheaper but flipped ~0.5% of near-edge elements into the
+        # neighboring bin vs the unpacked chain)
+        e = V
+        for _ in range(K - 1):
+            e = V + jnp.where(gidx >= 1, _roll_rows(e, T), 0.0)
+        return e
+
+    def normalize_packed(V, min_size):
+        # vmax: max is exactly associative, the halving tree is safe;
+        # total: left-associated running sum over group slices, matching
+        # the unpacked softmax bit-for-bit
+        vmax = _fold_max(V, K, T)                        # [T, R]
+        e = jnp.exp(V - _tile_groups(vmax, K, T))
+        tot = e[:T]
+        for k in range(1, K):
+            tot = tot + e[k * T:(k + 1) * T]
+        return (min_size
+                + (1.0 - min_size * K) * e * _tile_groups(1.0 / tot, K, T))
+
+    w = normalize_packed(P[:KT], min_bin_width)          # [KT, R]
+    h = normalize_packed(P[KT:2 * KT], min_bin_height)
+
+    def edges_packed(bins):
+        right = 2.0 * B * group_prefix(bins) - B
+        right = right + last * (B - right)               # exact B at k=K-1
+        left = _roll_rows(right, T)                      # exact copy of k-1
+        left = left + first * (-B - left)                # exact -B at k=0
+        return left, right
+
+    left_w, right_w = edges_packed(w)
+    left_h, right_h = edges_packed(h)
+    bin_w = right_w - left_w
+    bin_h = right_h - left_h
+
+    one_T = jnp.ones((T, x.shape[1]), dtype=f32)
+    do = deriv_offset * T
+    d_int = min_derivative + jnp.logaddexp(P[do:do + (K - 1) * T], 0.0)
+    derivs_lo = jnp.concatenate([one_T, d_int], axis=0)  # group k -> d_k
+    derivs_hi = jnp.concatenate([d_int, one_T], axis=0)  # group k -> d_{k+1}
+
+    xb = _tile_groups(x, K, T)                           # [KT, R]
+    search_left = left_h if inverse else left_w
+    ge = (xb >= search_left).astype(f32)                 # ge[0] == 1 (clipped)
+    up = _roll_rows(ge, KT - T)                          # group k <- k+1
+    onehot = ge - jnp.where(gidx == K - 1, 0.0, up)      # exactly one-hot
+
+    def select(field):
+        return _group_sum_tree(onehot * field, K, T)
+
+    sel = dict(
+        xw=select(bin_w),
+        xh=select(bin_h),
+        cw=select(left_w),
+        ch=select(left_h),
+        d0=select(derivs_lo),
+        d1=select(derivs_hi),
+    )
+    return sel, select
+
+
+def _rq_spline_TR_packed_roll(x_in, P, *, num_bins, T, inverse, tail_bound,
+                              min_bin_width, min_bin_height,
+                              min_derivative):
+    """RQ spline, K-bin axis packed on sublanes, roll-based structure.
+
+    :func:`_packed_select_roll` front half + the shared
+    :func:`_rq_eval_selected` tail. Toggle:
+    ``config.packed_spline_select('roll')``.
+    """
+    K = num_bins
+    if K < 2:
+        return _rq_spline_TR(
+            x_in, P, num_bins=num_bins, T=T, inverse=inverse,
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative)
+    B = tail_bound
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    sel, _ = _packed_select_roll(
+        x, P, K=K, T=T, inverse=inverse, B=B,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, deriv_offset=2 * K)
+
+    out, lad = _rq_eval_selected(x, sel["xw"], sel["xh"], sel["cw"],
+                                 sel["ch"], sel["d0"], sel["d1"], inverse)
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
+def _lrs_spline_TR_packed_roll(x_in, P, *, num_bins, T, inverse,
+                               tail_bound, min_bin_width, min_bin_height,
+                               min_derivative, min_lambda):
+    """Linear-rational spline, packed sublanes, roll-based structure —
+    the LRS counterpart of :func:`_rq_spline_TR_packed_roll` (packed
+    lambda select via the returned ``select``; evaluation is the shared
+    :func:`_lrs_eval_selected`)."""
+    K = num_bins
+    if K < 2:
+        return _lrs_spline_TR(
+            x_in, P, num_bins=num_bins, T=T, inverse=inverse,
+            tail_bound=tail_bound, min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height, min_derivative=min_derivative,
+            min_lambda=min_lambda)
+    B = tail_bound
+    KT = K * T
+    x_orig = x_in
+    inside = (x_orig >= -B) & (x_orig <= B)
+    x = jnp.clip(x_orig, -B, B)
+
+    sel, select = _packed_select_roll(
+        x, P, K=K, T=T, inverse=inverse, B=B,
+        min_bin_width=min_bin_width, min_bin_height=min_bin_height,
+        min_derivative=min_derivative, deriv_offset=3 * K)
+
+    lams = min_lambda + (1.0 - 2.0 * min_lambda) / (
+        1.0 + jnp.exp(-P[2 * KT:3 * KT]))                # [KT, R]
+    sel_lam = select(lams)
+
+    out, lad = _lrs_eval_selected(
+        x, sel["xw"], sel["xh"], sel["cw"], sel["ch"],
+        sel["d0"], sel["d1"], sel_lam, inverse)
+
+    out = jnp.where(inside, out, x_orig)
+    lad = jnp.where(inside, lad, jnp.zeros_like(lad))
+    return out, lad
+
+
 def _lrs_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
                           min_bin_width, min_bin_height, min_derivative,
                           min_lambda):
@@ -712,36 +982,9 @@ def _rq_spline_TR_packed(x_in, P, *, num_bins, T, inverse, tail_bound,
         x, P, K=K, T=T, inverse=inverse, B=B,
         min_bin_width=min_bin_width, min_bin_height=min_bin_height,
         min_derivative=min_derivative, deriv_offset=2 * K)
-    sel_xw, sel_xh = sel["xw"], sel["xh"]
-    sel_cw, sel_ch = sel["cw"], sel["ch"]
-    sel_d0, sel_d1 = sel["d0"], sel["d1"]
 
-    delta = sel_xh / sel_xw
-    d_sum = sel_d0 + sel_d1 - 2.0 * delta
-
-    if inverse:
-        y_rel = x - sel_ch
-        a = y_rel * d_sum + sel_xh * (delta - sel_d0)
-        b = sel_xh * sel_d0 - y_rel * d_sum
-        c = -delta * y_rel
-        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-        theta = (2.0 * c) / (-b - jnp.sqrt(disc))
-        out = theta * sel_xw + sel_cw
-    else:
-        theta = (x - sel_cw) / sel_xw
-        num = sel_xh * (delta * theta * theta + sel_d0 * theta * (1.0 - theta))
-        den = delta + d_sum * theta * (1.0 - theta)
-        out = sel_ch + num / den
-
-    tomt = theta * (1.0 - theta)
-    denominator = delta + d_sum * tomt
-    deriv_num = delta * delta * (
-        sel_d1 * theta * theta + 2.0 * delta * tomt
-        + sel_d0 * (1.0 - theta) * (1.0 - theta)
-    )
-    lad = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
-    if inverse:
-        lad = -lad
+    out, lad = _rq_eval_selected(x, sel["xw"], sel["xh"], sel["cw"],
+                                 sel["ch"], sel["d0"], sel["d1"], inverse)
 
     out = jnp.where(inside, out, x_orig)
     lad = jnp.where(inside, lad, jnp.zeros_like(lad))
@@ -779,11 +1022,28 @@ def _affine_TR(x_in, P, *, num_bins, T, inverse, scale_act):
 _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
                "rq_packed": _rq_spline_TR_packed,
                "lrs_packed": _lrs_spline_TR_packed,
+               "rq_packed_roll": _rq_spline_TR_packed_roll,
+               "lrs_packed_roll": _lrs_spline_TR_packed_roll,
                "affine": _affine_TR, "additive": _affine_TR,
                "linear": _linear_TR, "quadratic": _quadratic_TR,
                "cubic": _cubic_TR}
 
 
+def _packed_spline_name(family, style):
+    """Resolve the kernel spline name for a packed-select style.
+
+    ``style``: falsy = unpacked; ``'roll'`` = roll/repeat structural
+    moves (:func:`_packed_select_roll`); ``'mm'``/``True`` = the
+    kron(S, I_T) HIGHEST-precision matmul form (:func:`_packed_select`).
+    Families without a packed variant stay unpacked."""
+    if not style:
+        return family
+    suffix = "_packed_roll" if style == "roll" else "_packed"
+    name = f"{family}{suffix}"
+    return name if name in _SPLINES_TR else family
+
+
+@_with_mosaic_moves
 def _kernel(x_ref, ctx_ref, w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
             wc0_hbm, wcb_hbm, bcb_hbm,
             out_ref, lad_ref,
@@ -946,8 +1206,7 @@ def nsf_flow_kernel_call(
         if packed_select is None:
             from nflows_tpu import config
             packed_select = config.packed_spline_select()
-        if packed_select and f"{spline}_packed" in _SPLINES_TR:
-            spline = f"{spline}_packed"
+        spline = _packed_spline_name(spline, packed_select)
         spline_kw = dict(
             tail_bound=tail_bound, min_bin_width=min_bin_width,
             min_bin_height=min_bin_height, min_derivative=min_derivative,

@@ -62,6 +62,7 @@ from nflows_tpu.ops.pallas._kernel_common import (
 )
 from nflows_tpu.ops.pallas._trainer_common import FusedTrainerBase
 from nflows_tpu.ops.pallas.nsf_flow_kernel import (
+    _with_mosaic_moves,
     _SPLINES_TR,
     _take_rows,
     nsf_flow_kernel_call,
@@ -158,6 +159,7 @@ def _slice_layer_weights(l, w0_v, b0_v, wb_v, bb_v, wf_v, bf_v,
     return tuple(ws)
 
 
+@_with_mosaic_moves
 def _bwd_kernel(x_ref, ctx_ref, gy_ref, glad_ref,
                 w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
                 wc0_hbm, wcb_hbm, bcb_hbm,
@@ -279,12 +281,13 @@ def _family_spline_config(static):
         if family == "lrs":
             spline_kw["min_lambda"] = static["min_lambda"]
     scaled = family in ("rq", "lrs", "cubic", "quadratic")
-    packed = (config.packed_spline_select()
-              and f"{family}_packed" in _SPLINES_TR)
-    kernel_spline = f"{family}_packed" if packed else family
-    return spline_kw, scaled, kernel_spline, packed
+    from nflows_tpu.ops.pallas.nsf_flow_kernel import _packed_spline_name
+    kernel_spline = _packed_spline_name(family,
+                                        config.packed_spline_select())
+    return spline_kw, scaled, kernel_spline, kernel_spline != family
 
 
+@_with_mosaic_moves
 def _loss_grad_kernel(x_ref, ctx_ref,
                       w0_hbm, b0_hbm, wb_hbm, bb_hbm, wf_hbm, bf_hbm,
                       wc0_hbm, wcb_hbm, bcb_hbm,

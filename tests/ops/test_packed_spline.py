@@ -18,8 +18,10 @@ from nflows_tpu.models import NeuralSplineFlow
 from nflows_tpu.ops.pallas.nsf_flow_kernel import (
     _lrs_spline_TR,
     _lrs_spline_TR_packed,
+    _lrs_spline_TR_packed_roll,
     _rq_spline_TR,
     _rq_spline_TR_packed,
+    _rq_spline_TR_packed_roll,
 )
 from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
 
@@ -32,6 +34,12 @@ LRS_KW = dict(KW, min_lambda=0.025)
 FAMILIES = {
     "rq": (_rq_spline_TR, _rq_spline_TR_packed, (3 * K - 1) * T, KW),
     "lrs": (_lrs_spline_TR, _lrs_spline_TR_packed, (4 * K - 1) * T, LRS_KW),
+    # round-5 roll-based structural moves (custom_vjp pltpu roll/repeat
+    # in-kernel, jnp fallbacks in these pure-function tests)
+    "rq_roll": (_rq_spline_TR, _rq_spline_TR_packed_roll,
+                (3 * K - 1) * T, KW),
+    "lrs_roll": (_lrs_spline_TR, _lrs_spline_TR_packed_roll,
+                 (4 * K - 1) * T, LRS_KW),
 }
 
 
@@ -152,3 +160,73 @@ def test_kernel_dispatch_packed_vs_unpacked():
     np.testing.assert_allclose(np.asarray(z_u), np.asarray(z_p), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ladi_u), np.asarray(ladi_p),
                                atol=1e-4)
+
+
+def test_kernel_dispatch_roll_style():
+    """config.packed_spline_select('roll') routes the fused kernel through
+    the roll-based packed stage (pltpu roll/repeat structural moves) —
+    numerics equal the unpacked chain to reassociation tolerance, through
+    the interpret-mode kernel end to end."""
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=32, num_layers=4,
+        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(64, 6)) * 2,
+                    jnp.float32)
+    try:
+        config.packed_spline_select(False)
+        fused_u = fuse_nsf(flow, dtype=jnp.float32, lanes=64, interpret=True)
+        y_u, lad_u = fused_u.forward(x)
+        z_u, ladi_u = fused_u.inverse(x)
+        config.packed_spline_select("roll")
+        fused_r = fuse_nsf(flow, dtype=jnp.float32, lanes=64, interpret=True)
+        y_r, lad_r = fused_r.forward(x)
+        z_r, ladi_r = fused_r.inverse(x)
+    finally:
+        config._state["packed_spline_select"] = None
+    np.testing.assert_allclose(np.asarray(y_u), np.asarray(y_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lad_u), np.asarray(lad_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_u), np.asarray(z_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ladi_u), np.asarray(ladi_r),
+                               atol=1e-4)
+    with pytest.raises(ValueError, match="packed_spline_select"):
+        config.packed_spline_select("fast")
+
+
+def test_fused_training_roll_grads_match_xla():
+    """Roll-style packed fused training: the in-kernel jax.vjp sweep
+    differentiates through the custom_vjp roll/repeat moves; loss and
+    gradients match the autodiff'd XLA chain."""
+    from nflows_tpu.core.module import combine, partition
+    from nflows_tpu.ops.pallas.nsf_fused import _extract
+    from nflows_tpu.ops.pallas.nsf_train import FusedNSFTrainer
+
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=32, num_layers=3,
+        num_blocks_per_layer=2, num_bins=4, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(128, 6)) * 1.5,
+                    jnp.float32)
+    try:
+        config.packed_spline_select("roll")
+        trainer = FusedNSFTrainer(flow, batch_size=128, interpret=True)
+        fused_loss = float(trainer.loss_fn(trainer.weights, x.T))
+        g_fused = jax.grad(trainer.loss_fn)(trainer.weights, x.T)
+    finally:
+        config._state["packed_spline_select"] = None
+
+    xla_loss_val = float(-flow.log_prob(x).mean())
+    assert abs(fused_loss - xla_loss_val) < 1e-4, (fused_loss, xla_loss_val)
+
+    def xla_loss(params, rest):
+        return -combine(params, rest).log_prob(x).mean()
+
+    params, rest = partition(flow)
+    g_params = jax.grad(xla_loss)(params, rest)
+    _, g_ref, _, _, _ = _extract(combine(g_params, rest), jnp.float32,
+                                 fold_wh_scale=False)
+    for k in ("w0", "b0", "wb", "bb", "wf", "bf"):
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_ref[k]),
+            atol=5e-4, err_msg=k)
