@@ -276,6 +276,160 @@ class FusedTrainerBase:
                 out_specs=(P(), P(), P()), check_rep=False)
         return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
+    # -- ZeRO optimizer-state sharding ------------------------------------
+
+    def _zero_specs(self, mesh, data_axis, min_shard_elements):
+        """Per-weight PartitionSpecs for the fp32 Adam moments: one dim of
+        each big-enough leaf sharded over ``data_axis`` (same placement
+        rule as :func:`nflows_tpu.parallel.fsdp.fsdp_sharding`), small
+        leaves replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from nflows_tpu.parallel.fsdp import _shard_spec
+
+        n = mesh.shape[data_axis]
+        return {
+            k: _shard_spec(w.shape, n, min_shard_elements, data_axis) or P()
+            for k, w in self.weights.items()
+        }
+
+    def init_opt_sharded(self, optimizer, mesh, data_axis="data",
+                         min_shard_elements=8192):
+        """Optimizer state with its moments SHARDED over ``data_axis``
+        (ZeRO-1/2): init runs on a sharded view of the weights, so every
+        moment leaf inherits that leaf's shard spec while the kernel's own
+        weights stay replicated (they must be whole in VMEM). Pair with
+        :meth:`make_zero_train_step` built with the same
+        ``min_shard_elements``."""
+        from jax.sharding import NamedSharding
+
+        specs = self._zero_specs(mesh, data_axis, min_shard_elements)
+        sharded_w = {
+            k: jax.device_put(w, NamedSharding(mesh, specs[k]))
+            for k, w in self.weights.items()
+        }
+        # EAGER init: optax moments are zeros_like(param), which preserves
+        # the committed shard layout leaf-by-leaf (a jitted init would let
+        # XLA pick output shardings — zeros have no data dependence on the
+        # inputs, so it picks replicated)
+        return optimizer.init(sharded_w)
+
+    def make_zero_train_step(self, optimizer, mesh, data_axis="data",
+                             donate=True, min_shard_elements=8192):
+        """Fused DP training with ZeRO-sharded optimizer state.
+
+        Composes the two round-4 flagships: the forward+backward
+        megakernels run per batch shard under ``shard_map`` (kernel
+        weights REPLICATED — they are VMEM-resident), while the fp32 Adam
+        moments live sharded over ``data_axis`` and only ever touch their
+        local shard. Per step:
+
+        - each device computes its shard's gradients in the fused kernel;
+        - each gradient leaf is ``psum_scatter``'d straight to its moment
+          shard (summed + scattered in one collective — half the bytes of
+          the DP step's ``pmean``), small/unshardable leaves ``pmean``;
+        - the optimizer update runs elementwise on the shards (GSPMD, no
+          communication);
+        - updated weight shards are all-gathered back to replicated for
+          the next kernel launch.
+
+        Comm per step is the ZeRO-2 optimum (reduce-scatter(G) +
+        all-gather(W)); per-device optimizer memory drops to ~1/N on the
+        sharded leaves (machine-checked in
+        tests/parallel/test_fused_zero.py, alongside step numerics ==
+        the unsharded fused step). Use :meth:`init_opt_sharded` (same
+        ``min_shard_elements``) for the optimizer state. The reference
+        has no distributed counterpart (SURVEY.md §2.6).
+
+        ``batch`` (and ``context``) is the GLOBAL array, sharded on its
+        leading axis; per-device batch must be a multiple of the 128-lane
+        kernel tile.
+        """
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        P = PartitionSpec
+        n = mesh.shape[data_axis]
+        per_dev = self.batch_size // n
+        if self.batch_size % n or per_dev % 128:
+            raise ValueError(
+                f"global batch {self.batch_size} over {n} '{data_axis}' "
+                "devices must give a per-device batch that is a multiple "
+                "of 128")
+        specs = self._zero_specs(mesh, data_axis, min_shard_elements)
+        vag = self._value_and_grad(self._lane_tile(per_dev))
+        inv_n = 1.0 / n
+
+        def _scatter(g, spec):
+            dim = next((i for i, a in enumerate(spec) if a is not None),
+                       None)
+            if dim is None:
+                return jax.lax.pmean(g, data_axis)
+            # sum of shard-means / n == global-batch mean (equal shards)
+            return inv_n * jax.lax.psum_scatter(
+                g, data_axis, scatter_dimension=dim, tiled=True)
+
+        def _grads_part(weights, batch, context):
+            ctx_t = None if context is None else context.T
+            loss, grads = vag(weights, batch.T, ctx_t)
+            gshards = {k: _scatter(g, specs[k]) for k, g in grads.items()}
+            return gshards, jax.lax.pmean(loss, data_axis)
+
+        if self._has_ctx:
+            def grads_part(weights, batch, context):
+                return _grads_part(weights, batch, context)
+            in_specs = (P(), P(data_axis), P(data_axis))
+        else:
+            def grads_part(weights, batch):
+                return _grads_part(weights, batch, None)
+            in_specs = (P(), P(data_axis))
+
+        # check_vma=False for the same reason as make_dp_train_step:
+        # pallas_call carries no varying-across-mesh type
+        try:
+            sharded_grads = shard_map(
+                grads_part, mesh=mesh, in_specs=in_specs,
+                out_specs=(dict(specs), P()), check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sharded_grads = shard_map(
+                grads_part, mesh=mesh, in_specs=in_specs,
+                out_specs=(dict(specs), P()), check_rep=False)
+
+        def _constrain(tree, to_specs):
+            return {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, to_specs[k]))
+                for k, v in tree.items()
+            }
+
+        rep = {k: P() for k in specs}
+
+        def _update(weights, opt_state, batch, context):
+            args = (weights, batch) if context is None else (
+                weights, batch, context)
+            gshards, loss = sharded_grads(*args)
+            # replicated -> sharded is a local slice; the update then runs
+            # entirely on shards, and only the updated weights are
+            # all-gathered (the with_sharding_constraint back to P())
+            wshards = _constrain(weights, specs)
+            updates, opt_state = optimizer.update(gshards, opt_state,
+                                                  wshards)
+            new_w = optax.apply_updates(wshards, updates)
+            return _constrain(new_w, rep), opt_state, loss
+
+        if self._has_ctx:
+            def step(weights, opt_state, batch, context):
+                return _update(weights, opt_state, batch, context)
+        else:
+            def step(weights, opt_state, batch):
+                return _update(weights, opt_state, batch, None)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
     def init_loop_state(self, optimizer):
         """A ``TrainState`` carrying the kernel-layout weights
         (``params=weights, rest=None``), so the fused trainers compose

@@ -46,8 +46,9 @@ __all__ = ["fsdp_sharding", "apply_fsdp"]
 _MIN_SHARD_ELEMENTS = 8192
 
 
-def _shard_spec(shape, n, min_shard_elements) -> Optional[P]:
-    """PartitionSpec sharding ONE dimension over the data axis, or None.
+def _shard_spec(shape, n, min_shard_elements, axis="data") -> Optional[P]:
+    """PartitionSpec sharding ONE dimension over the ``axis`` mesh axis,
+    or None.
 
     Picks the largest dimension divisible by ``n`` (ties -> first), so
     [H, H] conditioner weights shard rows, [3K-1, H]-style heads shard
@@ -60,7 +61,7 @@ def _shard_spec(shape, n, min_shard_elements) -> Optional[P]:
         return None
     dim = max(divisible, key=lambda d: shape[d])
     spec = [None] * len(shape)
-    spec[dim] = "data"
+    spec[dim] = axis
     return P(*spec)
 
 
