@@ -41,6 +41,11 @@ def main():
                         "maf = masked-affine AR flow (FusedMAFTrainer); "
                         "mademog = mixture-density MADE "
                         "(FusedMADEMoGTrainer)")
+    p.add_argument("--packed", nargs="?", const="mm", default=None,
+                   choices=["mm", "roll"],
+                   help="packed-sublane spline stage in the fused trainer "
+                        "(config.packed_spline_select): 'mm' = kron matmul "
+                        "form, 'roll' = pltpu roll/repeat structural moves")
     args = p.parse_args()
 
     import jax
@@ -54,6 +59,10 @@ def main():
         # trace time), keeping the comparison apples-to-apples
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
+
+    if args.packed:
+        from nflows_tpu import config
+        config.packed_spline_select(args.packed)
 
     from benchmarks._timing import timeit_calls
     from nflows_tpu.distributions import MADEMoG
