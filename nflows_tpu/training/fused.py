@@ -26,7 +26,9 @@ __all__ = ["fused_trainer"]
 # toolchain update, re-measure and install new floors with
 # ``config.fused_train_crossover({...})``.
 _DEFAULT_MIN_AUTO_BATCH = {
-    "nsf": 1024,
+    # 1024 measured 0.93-0.95x across two sessions (round 5) — the fused
+    # win starts at 2048 (1.30-1.36x), matching README's guidance
+    "nsf": 2048,
     "maf": None,
     "mademog": None,
     "iaf": 0,  # VI trainer: no XLA head-to-head exists

@@ -153,7 +153,7 @@ def test_fused_trainer_composes_with_run_training(tmp_path):
 
 def test_auto_applies_measured_crossover():
     """auto=True routes by the measured fused-vs-XLA training crossover
-    (BASELINE.md "Round 4 measurements"): NSF fused only from batch 1024,
+    (BASELINE.md round-4/5 measurements): NSF fused only from batch 2048,
     MAF/MADEMoG never, IAF (VI, no XLA head-to-head) always."""
     from nflows_tpu.flows import MaskedAutoregressiveFlow
     from nflows_tpu.models import (
@@ -218,7 +218,7 @@ def test_crossover_override_flips_auto_selection():
         num_blocks_per_layer=1, use_random_permutations=True,
         key=jax.random.key(0), rng=np.random.default_rng(0))
     try:
-        # NSF default floor is 1024 -> batch 512 routes to XLA; lower it.
+        # NSF default floor is 2048 -> batch 512 routes to XLA; lower it.
         config.fused_train_crossover({"nsf": 512})
         assert isinstance(
             fused_trainer(nsf, batch_size=512, interpret=True, auto=True),
