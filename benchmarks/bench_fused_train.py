@@ -98,6 +98,25 @@ def main():
     trainer_cls = {"nsf": FusedNSFTrainer, "maf": FusedMAFTrainer,
                    "mademog": FusedMADEMoGTrainer}[args.family]
 
+    # model-FLOP accounting for the MFU column (NSF coupling only; the
+    # convention matches benchmarks/mxu_width.py: train step = 3x forward
+    # model FLOPs, 197 TFLOPS bf16 peak on v5e)
+    BF16_PEAK_TFLOPS = 197.0
+    if args.family == "nsf":
+        Tid, T = args.features // 2, args.features - args.features // 2
+        out = T * (3 * args.bins - 1)
+        fwd_macs = args.layers * (
+            Tid * args.hidden + 2 * args.blocks * args.hidden * args.hidden
+            + args.hidden * out)
+    else:
+        fwd_macs = None
+
+    def mfu(batch, t_step):
+        if fwd_macs is None:
+            return ""
+        tf = 3 * 2 * batch * fwd_macs / t_step / 1e12
+        return f" | {tf:5.1f} TFLOPS = {100*tf/BF16_PEAK_TFLOPS:4.1f}% MXU"
+
     for batch in args.batch:
         windows = [
             jnp.asarray(rng.normal(size=(args.inner, batch, args.features)),
@@ -138,14 +157,24 @@ def main():
             _, _, losses = out
             return float(losses[-1])
 
-        t_fused = timeit_calls(run_fused, [(w,) for w in windows],
-                               drain_fused)
+        try:
+            t_fused = timeit_calls(run_fused, [(w,) for w in windows],
+                                   drain_fused)
+        except Exception as e:  # e.g. VMEM OOM at wide hidden — keep
+            # sweeping and report the XLA row (hidden 512 measured
+            # 130.5M/128M VMEM, round 5)
+            msg = str(e).splitlines()[-1][:120]
+            print(f"batch {batch:6d}: XLA {sps_xla:8.1f} steps/s "
+                  f"({1e6*t_xla/args.inner:7.1f} us) | fused FAILED: "
+                  f"{msg}", flush=True)
+            continue
         sps_fused = args.inner / t_fused
 
         print(f"batch {batch:6d}: XLA {sps_xla:8.1f} steps/s "
               f"({1e6*t_xla/args.inner:7.1f} us) | fused {sps_fused:8.1f} "
               f"steps/s ({1e6*t_fused/args.inner:7.1f} us) | "
-              f"fused/XLA = {sps_fused/sps_xla:.2f}x", flush=True)
+              f"fused/XLA = {sps_fused/sps_xla:.2f}x"
+              f"{mfu(batch, t_fused/args.inner)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -88,15 +88,18 @@ def main():
                    "mademog": FusedMADEMoGTrainer}[args.family]
 
     N, D = args.batch, args.features
-    batches = [
-        jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
-        for _ in range(args.reps + 1)
-    ]
-    batches_t = [b.T for b in batches]
 
     flow = flow_for()
     trainer = trainer_cls(flow_for(), batch_size=N)
     w = trainer.weights
+
+    # every stage scans over an [inner, N, D] window so the ~20 ms tunnel
+    # dispatch amortizes away (single-call timings are dispatch-noise on
+    # this setup — BASELINE.md "remote tunnel, not device compute")
+    windows = [
+        jnp.asarray(rng.normal(size=(args.inner, N, D)), jnp.float32)
+        for _ in range(args.reps + 1)
+    ]
 
     def report(name, t_x, t_f):
         print(f"{name:28s}: XLA {1e6 * t_x:9.1f} us | fused "
@@ -104,38 +107,56 @@ def main():
               f"{t_x / t_f:5.2f}x", flush=True)
         return t_x, t_f
 
-    # ---- forward (loss value only) ----
-    def xla_loss(b):
-        return -flow.log_prob(b).mean()
+    def timed_scan(fn, drain=lambda o: float(o[-1])):
+        jf = jax.jit(fn)
+        return _timeit(jf, [(wd,) for wd in windows], drain,
+                       args.reps) / args.inner
 
-    xla_fwd = jax.jit(xla_loss)
-    fused_fwd = jax.jit(lambda bt: trainer.loss_fn(w, bt))
-    t_x_f = _timeit(xla_fwd, [(b,) for b in batches],
-                    lambda o: float(o), args.reps)
-    t_f_f = _timeit(fused_fwd, [(bt,) for bt in batches_t],
-                    lambda o: float(o), args.reps)
+    from nflows_tpu.training.train import combine, partition
+
+    params0, rest0 = partition(flow)
+
+    def xla_loss(p, b):
+        return -combine(p, rest0).log_prob(b).mean()
+
+    # ---- forward (loss value only) ----
+    def xla_fwd_scan(wd):
+        def one(c, b):
+            return c, xla_loss(params0, b)
+        return jax.lax.scan(one, 0.0, wd)[1]
+
+    def fused_fwd_scan(wd):
+        def one(c, b):
+            return c, trainer.loss_fn(w, b.T)
+        return jax.lax.scan(one, 0.0, wd)[1]
+
+    t_x_f = timed_scan(xla_fwd_scan)
+    t_f_f = timed_scan(fused_fwd_scan)
     report("forward (loss)", t_x_f, t_f_f)
 
-    # ---- value_and_grad ----
-    xla_vag = jax.jit(jax.value_and_grad(
-        lambda fl, b: -fl.log_prob(b).mean()))
+    # ---- value_and_grad (grads consumed via a total so nothing DCEs) ----
+    def gsum(tree):
+        return sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(tree))
+
+    def xla_vag_scan(wd):
+        def one(c, b):
+            loss, grads = jax.value_and_grad(xla_loss)(params0, b)
+            return c, loss + 1e-30 * gsum(grads)
+        return jax.lax.scan(one, 0.0, wd)[1]
+
     fused_vag_fn = trainer._value_and_grad()
-    fused_vag = jax.jit(lambda bt: fused_vag_fn(w, bt))
 
-    def drain_vag(out):
-        return float(out[0])
+    def fused_vag_scan(wd):
+        def one(c, b):
+            loss, grads = fused_vag_fn(w, b.T)
+            return c, loss + 1e-30 * gsum(grads)
+        return jax.lax.scan(one, 0.0, wd)[1]
 
-    t_x_g = _timeit(xla_vag, [(flow, b) for b in batches],
-                    drain_vag, args.reps)
-    t_f_g = _timeit(fused_vag, [(bt,) for bt in batches_t],
-                    drain_vag, args.reps)
+    t_x_g = timed_scan(xla_vag_scan)
+    t_f_g = timed_scan(fused_vag_scan)
     report("value_and_grad", t_x_g, t_f_g)
 
     # ---- full scan-fused train step (the production row) ----
-    windows = [
-        jnp.asarray(rng.normal(size=(args.inner, N, D)), jnp.float32)
-        for _ in range(args.reps + 1)
-    ]
     opt = optax.adam(3e-4)
     state = create_train_state(flow, opt)
     steps = make_scan_train_step(opt, donate=False)
@@ -154,8 +175,7 @@ def main():
     print(f"  backward  = vag - fwd : XLA {1e6 * (t_x_g - t_x_f):9.1f} us"
           f" | fused {1e6 * (t_f_g - t_f_f):9.1f} us")
     print(f"  opt+fold  = step - vag: XLA {1e6 * (t_x_s - t_x_g):9.1f} us"
-          f" | fused {1e6 * (t_f_s - t_f_g):9.1f} us"
-          "  (scan amortizes dispatch: can be negative)")
+          f" | fused {1e6 * (t_f_s - t_f_g):9.1f} us")
 
 
 if __name__ == "__main__":
