@@ -24,7 +24,7 @@ def main():
                    help="context_features (0 = unconditional); measures "
                         "the round-3 conditional fused path")
     p.add_argument("--packed", nargs="?", const="mm", default=None,
-                   choices=["mm", "roll"],
+                   choices=["mm", "roll", "off"],
                    help="use the packed-sublane spline stage "
                         "(config.packed_spline_select) in the megakernel: "
                         "'mm' = kron matmul form, 'roll' = pltpu roll/"
@@ -41,7 +41,8 @@ def main():
     from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
 
     if args.packed:
-        config.packed_spline_select(args.packed)
+        config.packed_spline_select(
+            False if args.packed == "off" else args.packed)
 
     ctx_f = args.context or None
     flow = NeuralSplineFlow(

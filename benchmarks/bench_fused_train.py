@@ -42,7 +42,7 @@ def main():
                         "mademog = mixture-density MADE "
                         "(FusedMADEMoGTrainer)")
     p.add_argument("--packed", nargs="?", const="mm", default=None,
-                   choices=["mm", "roll"],
+                   choices=["mm", "roll", "off"],
                    help="packed-sublane spline stage in the fused trainer "
                         "(config.packed_spline_select): 'mm' = kron matmul "
                         "form, 'roll' = pltpu roll/repeat structural moves")
@@ -62,7 +62,8 @@ def main():
 
     if args.packed:
         from nflows_tpu import config
-        config.packed_spline_select(args.packed)
+        config.packed_spline_select(
+            False if args.packed == "off" else args.packed)
 
     from benchmarks._timing import timeit_calls
     from nflows_tpu.distributions import MADEMoG

@@ -79,20 +79,41 @@ def set_pallas_splines(enable: bool) -> None:
 def packed_spline_select(enable=None):
     """Get/set the megakernel's packed-sublane spline stage (see _state).
 
-    Values: ``False`` = unpacked skinny [T, R] chain (default);
-    ``'roll'`` = packed [K*T, R] with roll/repeat structural moves
-    (exact fp32 copies, no MXU — round 5); ``'mm'`` or ``True`` = packed
-    with kron(S, I_T) HIGHEST-precision structural matmuls (round 3/4
-    form, measured slower than unpacked at the flagship — kept for A/B).
+    Values: ``False`` = unpacked skinny [T, R] chain; ``'roll'`` = packed
+    [K*T, R] with roll/repeat structural moves (exact fp32 copies, no
+    MXU — round 5); ``'mm'`` or ``True`` = packed with kron(S, I_T)
+    HIGHEST-precision structural matmuls (round 3/4 form, measured
+    slower than unpacked at the flagship — kept for A/B); ``'auto'`` =
+    reset to the per-path defaults.
+
+    Unset (``'auto'``, the default), the two kernel paths resolve
+    differently from measurement (BASELINE.md round 5, same-session
+    A/Bs): SERVING megakernels use ``'roll'`` (log_prob 1.43x -> 1.62x
+    XLA, sampling 1.60x -> 1.63x, numerics bit-identical to unpacked),
+    TRAINING kernels use the unpacked chain (roll measured a wash, -3%
+    at batch 2048). Setting any explicit value forces BOTH paths.
     """
     if enable is not None:
-        if enable not in (False, True, "mm", "roll"):
+        if enable == "auto":
+            _state["packed_spline_select"] = None
+        elif enable in (False, True, "mm", "roll"):
+            _state["packed_spline_select"] = enable
+        else:
             raise ValueError(
-                "packed_spline_select must be False, True, 'mm' or "
-                f"'roll'; got {enable!r}")
-        _state["packed_spline_select"] = enable
+                "packed_spline_select must be False, True, 'mm', 'roll' "
+                f"or 'auto'; got {enable!r}")
     setting = _state["packed_spline_select"]
     return False if setting is None else setting
+
+
+def _packed_spline_style(path):
+    """Resolve the packed-select style for ``path`` ('serving' or
+    'training'): the user's forced setting, else the measured per-path
+    default (see :func:`packed_spline_select`)."""
+    setting = _state["packed_spline_select"]
+    if setting is None:
+        return "roll" if path == "serving" else False
+    return setting
 
 
 def fused_train_crossover(overrides: dict = None) -> dict:

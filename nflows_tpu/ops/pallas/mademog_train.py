@@ -249,6 +249,15 @@ class FusedMADEMoGTrainer(FusedTrainerBase):
     """Train a MADEMoG / MixtureOfGaussiansMADE with fused Pallas
     forward+backward megakernels.
 
+    NOT a throughput play — measured 0.84-0.98x the XLA chain at every
+    production batch: the single-MADE-pass XLA backward is ~22 us (fully
+    fused) while the in-kernel recompute costs ~86 us, and there is no
+    residual traffic to save (DESIGN.md 3c round-5 settlement;
+    benchmarks/profile_fused_train.py --family mademog).
+    `training.fused_trainer(auto=True)` never selects it; use it for the
+    composable custom_vjp apply (input cotangents for composed
+    objectives) or stay on the XLA chain for throughput.
+
         trainer = FusedMADEMoGTrainer(dist, batch_size=512)
         step = trainer.make_train_step(optax.adam(3e-4))
         weights, opt_state = trainer.weights, trainer.init_opt(opt)

@@ -421,6 +421,18 @@ def maf_train_vjp_call(layer_static, transformer, num_blocks, spline_kw,
 class FusedMAFTrainer(FusedTrainerBase):
     """Train a MAF / NSF-AR with fused Pallas forward+backward megakernels.
 
+    NOT a throughput play — measured 0.75-0.93x the XLA scan chain at
+    every production batch, and the loss is structural: the AR forward is
+    one MADE pass per layer, so XLA's backward has almost no residual
+    traffic for the in-kernel recompute to save, while the recompute
+    FLOPs (+40% backward) and the per-step mask fold (+105 us) are pure
+    cost (DESIGN.md 3c round-5 settlement;
+    benchmarks/profile_fused_train.py). `training.fused_trainer(auto=
+    True)` therefore never selects it. It exists for its COMPOSABLE
+    custom_vjp apply: the IAF/VI reverse-KL path (make_vi_train_step
+    trains the sampling direction, where the fused AR kernel IS the fast
+    path) and kernel-layout export for fused serving.
+
         trainer = FusedMAFTrainer(flow, batch_size=512)
         step = trainer.make_train_step(optax.adam(3e-4))
         weights, opt_state = trainer.weights, trainer.init_opt(optimizer)

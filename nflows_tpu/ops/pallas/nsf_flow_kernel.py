@@ -1204,14 +1204,17 @@ def nsf_flow_kernel_call(
                 f"spline={spline!r} requires num_bins/tail_bound/"
                 "min_bin_width/min_bin_height/min_derivative")
         if packed_select is None:
+            # serving default: 'roll' (measured >= unpacked at every
+            # pairing, numerics bit-identical — BASELINE.md round 5);
+            # training callers pass their resolved style explicitly
             from nflows_tpu import config
-            packed_select = config.packed_spline_select()
+            packed_select = config._packed_spline_style("serving")
         spline = _packed_spline_name(spline, packed_select)
         spline_kw = dict(
             tail_bound=tail_bound, min_bin_width=min_bin_width,
             min_bin_height=min_bin_height, min_derivative=min_derivative,
         )
-        if spline == "lrs":
+        if spline.startswith("lrs"):  # lrs / lrs_packed / lrs_packed_roll
             if min_lambda is None:
                 raise ValueError("min_lambda is required for spline='lrs'")
             spline_kw["min_lambda"] = min_lambda

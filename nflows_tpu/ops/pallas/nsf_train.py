@@ -282,9 +282,13 @@ def _family_spline_config(static):
             spline_kw["min_lambda"] = static["min_lambda"]
     scaled = family in ("rq", "lrs", "cubic", "quadratic")
     from nflows_tpu.ops.pallas.nsf_flow_kernel import _packed_spline_name
-    kernel_spline = _packed_spline_name(family,
-                                        config.packed_spline_select())
-    return spline_kw, scaled, kernel_spline, kernel_spline != family
+    style = config._packed_spline_style("training")
+    kernel_spline = _packed_spline_name(family, style)
+    # 4th element is the resolved STYLE (False/'mm'/'roll'), forwarded
+    # verbatim to nsf_flow_kernel_call so the split custom_vjp path's
+    # forward kernel runs the SAME form as the backward
+    return (spline_kw, scaled, kernel_spline,
+            style if kernel_spline != family else False)
 
 
 @_with_mosaic_moves

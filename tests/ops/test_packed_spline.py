@@ -230,3 +230,37 @@ def test_fused_training_roll_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(g_fused[k]), np.asarray(g_ref[k]),
             atol=5e-4, err_msg=k)
+
+
+def test_per_path_default_styles():
+    """Unset config resolves 'serving' -> roll (measured >= unpacked,
+    bit-identical numerics) and 'training' -> unpacked (measured a
+    wash); an explicit setting forces BOTH; 'auto' resets."""
+    from nflows_tpu.ops.pallas.nsf_flow_kernel import _packed_spline_name
+    from nflows_tpu.ops.pallas.nsf_train import _family_spline_config
+
+    static = dict(spline="rq", num_blocks=2, tail_bound=3.0,
+                  min_bin_width=1e-3, min_bin_height=1e-3,
+                  min_derivative=1e-3, min_lambda=None, num_bins=4)
+    try:
+        config.packed_spline_select("auto")
+        assert config._packed_spline_style("serving") == "roll"
+        assert config._packed_spline_style("training") is False
+        _, _, name, style = _family_spline_config(static)
+        assert name == "rq" and style is False
+        # the serving kernel-name resolution applies the serving default
+        assert _packed_spline_name(
+            "rq", config._packed_spline_style("serving")
+        ) == "rq_packed_roll"
+
+        config.packed_spline_select(False)  # force unpacked everywhere
+        assert config._packed_spline_style("serving") is False
+
+        config.packed_spline_select("roll")  # force roll everywhere
+        _, _, name, style = _family_spline_config(static)
+        assert name == "rq_packed_roll" and style == "roll"
+
+        config.packed_spline_select("auto")
+        assert config.packed_spline_select() is False  # getter: forced-or-False
+    finally:
+        config._state["packed_spline_select"] = None
