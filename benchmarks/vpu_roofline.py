@@ -123,50 +123,111 @@ def run_census(R):
 
 
 def microbench():
-    """Sustained VPU throughput for dependent chains at kernel shapes."""
+    """Sustained VPU throughput for dependent chains at kernel shapes,
+    and the REAL spline stage in isolation.
+
+    Slope method at device scale: each pallas program runs an n-iteration
+    dependent fori_loop; a grid of G programs repeats it G times
+    sequentially on one core, so device time >> the ~20 ms tunnel
+    dispatch and the (n_hi - n_lo) slope cancels every fixed cost."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    def chain_kernel(x_ref, o_ref, *, n, op):
-        x = x_ref[...]
-        a = jnp.float32(1.0000001)
-        b = jnp.float32(1e-7)
-        def body(i, x):
-            if op == "fma":
-                return x * a + b
-            return jnp.exp(x * jnp.float32(1e-6)) - jnp.float32(1.0) + x
+    from nflows_tpu.ops.pallas import nsf_flow_kernel as nk
 
-        x = jax.lax.fori_loop(0, n, body, x)
-        o_ref[...] = x
+    G = 32
 
-    def time_chain(shape, n, op, reps=5):
-        f = pl.pallas_call(
-            functools.partial(chain_kernel, n=n, op=op),
-            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-        )
-        jf = jax.jit(f)
-        x = jnp.ones(shape, jnp.float32)
-        jf(x).block_until_ready()
+    def timed(call, args, reps=4):
+        jf = jax.jit(call)
+        drain = lambda o: float(jnp.asarray(o).ravel()[0])
+        drain(jf(*args))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jf(x).block_until_ready()
+            drain(jf(*args))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print("\n== VPU chain throughput (dependent ops, VMEM-resident) ==")
+    def chain_time(shape, n, op):
+        def kernel(x_ref, o_ref):
+            x = x_ref[...]
+            a = jnp.float32(1.0000001)
+            b = jnp.float32(1e-7)
+
+            def body(i, x):
+                if op == "fma":
+                    return x * a + b
+                return jnp.exp(x * jnp.float32(-1e-6))
+
+            o_ref[...] = jax.lax.fori_loop(0, n, body, x)
+
+        f = pl.pallas_call(
+            kernel, grid=(G,),
+            in_specs=[pl.BlockSpec(shape, lambda i: (0, 0))],
+            out_specs=pl.BlockSpec(shape, lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        )
+        return timed(f, (jnp.ones(shape, jnp.float32),))
+
+    print("\n== VPU chain throughput (dependent ops, G=32 grid) ==")
     print(f"{'shape':>12s} {'op':>5s} {'ns/elem-op':>11s} {'Gelem-op/s':>11s}")
-    for shape in [(3, 512), (8, 512), (24, 512), (8, 1536), (8, 8192)]:
-        for op, ops_per_iter in [("fma", 1), ("exp", 1)]:
-            n_lo, n_hi = 256, 2048
-            t_lo = time_chain(shape, n_lo, op)
-            t_hi = time_chain(shape, n_hi, op)
-            dt = t_hi - t_lo
-            elems = int(np.prod(shape)) * (n_hi - n_lo) * ops_per_iter
+    rates = {}
+    for shape in [(3, 1024), (8, 1024), (24, 1024), (8, 3072)]:
+        for op in ("fma", "exp"):
+            n_lo, n_hi = 2048, 16384
+            dt = chain_time(shape, n_hi, op) - chain_time(shape, n_lo, op)
+            elems = int(np.prod(shape)) * (n_hi - n_lo) * G
             ns = 1e9 * dt / elems
-            print(f"{str(shape):>12s} {op:>5s} {ns:11.3f} {1.0/ns:11.2f}",
-                  flush=True)
+            rates[(shape, op)] = ns
+            print(f"{str(shape):>12s} {op:>5s} {ns:11.4f} "
+                  f"{1.0/max(ns,1e-9):11.2f}", flush=True)
+
+    # --- the real spline stage, isolated, at megakernel shapes ---
+    K, T, R = 8, 3, 1024
+    kw = dict(num_bins=K, T=T, tail_bound=3.0, min_bin_width=1e-3,
+              min_bin_height=1e-3, min_derivative=1e-3)
+
+    def spline_time(fn, m, inverse=False):
+        @nk._with_mosaic_moves
+        def kernel(x_ref, p_ref, o_ref):
+            P = p_ref[...]
+
+            def body(i, x):
+                out, lad = fn(x, P, inverse=inverse, **kw)
+                # keep the chain dependent and in-domain
+                return jnp.clip(out * jnp.float32(0.7), -3.0, 3.0)
+
+            o_ref[...] = jax.lax.fori_loop(0, m, body, x_ref[...])
+
+        f = pl.pallas_call(
+            kernel, grid=(G,),
+            in_specs=[pl.BlockSpec((T, R), lambda i: (0, 0)),
+                      pl.BlockSpec(((3 * K - 1) * T, R), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((T, R), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, R), jnp.float32),
+        )
+        x = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (T, R)),
+                        jnp.float32)
+        P = jnp.asarray(np.random.default_rng(1).normal(size=(
+            (3 * K - 1) * T, R)) * 0.3, jnp.float32)
+        return timed(f, (x, P))
+
+    print("\n== real spline stage, isolated (per application of [T=3, R=1024]) ==")
+    for name, fn in [("unpacked", nk._rq_spline_TR),
+                     ("packed-roll", nk._rq_spline_TR_packed_roll)]:
+        for inverse in (False, True):
+            m_lo, m_hi = 4, 32
+            dt = spline_time(fn, m_hi, inverse) - spline_time(fn, m_lo,
+                                                              inverse)
+            per_app_us = 1e6 * dt / ((m_hi - m_lo) * G)
+            per_elem_ns = 1e3 * per_app_us / (T * R)
+            d = "inv" if inverse else "fwd"
+            print(f"  {name:12s} {d}: {per_app_us:8.2f} us/application "
+                  f"= {per_elem_ns:6.2f} ns/element", flush=True)
+    print("\ncompare: megakernel end-to-end = 57-66 ms / (262144 samples x"
+          " 10 layers) = 22-25 ns per element-layer; GEMMs ~6 ms of that."
+          " The spline-stage line above is the VPU floor share of it.")
 
 
 def main():
