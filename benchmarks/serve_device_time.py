@@ -1,0 +1,98 @@
+"""Device-only serving time via the chain-slope method.
+
+Round-5 discovery: bench_fused_nsf's single-dispatch timings carry the
+~45-50 ms tunnel round-trip un-amortized (its L=1 fused forward measures
+51.5 ms vs L=10's 57.4 ms — the 'megakernel cost anatomy' of rounds 2-4
+was mostly measuring the tunnel). This bench cancels every fixed cost
+exactly, like bench_pallas_rq's slope method: time a jitted chain of k
+dependent applications minus a 1-application chain; the difference is
+(k-1) x the pure device cost of one application.
+
+Usage: python benchmarks/serve_device_time.py [--k 5] [--packed roll|mm|off]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=262144)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--layers", type=int, default=10)
+    p.add_argument("--k", type=int, default=5, help="chain length")
+    p.add_argument("--reps", type=int, default=6)
+    p.add_argument("--packed", nargs="?", const="mm", default=None,
+                   choices=["mm", "roll", "off"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    from nflows_tpu import config
+    from nflows_tpu.models import NeuralSplineFlow
+    from nflows_tpu.ops.pallas.nsf_fused import fuse_nsf
+
+    if args.packed:
+        config.packed_spline_select(
+            False if args.packed == "off" else args.packed)
+
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=args.hidden, num_layers=args.layers,
+        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    fused = fuse_nsf(flow)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(args.n, 6)), jnp.float32)
+
+    xla_fwd = jax.jit(flow.transform.forward)
+    xla_inv = jax.jit(flow.transform.inverse)
+
+    def chain(f, k):
+        @jax.jit
+        def run(x):
+            lad_acc = jnp.zeros((x.shape[0],), jnp.float32)
+            for _ in range(k):
+                y, lad = f(x)
+                lad_acc = lad_acc + lad
+                # rescale keeps the chain in-domain; negligible cost
+                x = jnp.clip(y * jnp.float32(0.31), -3.0, 3.0)
+            return lad_acc
+
+        return run
+
+    def timed(run, reps):
+        drain = lambda o: float(o[0])
+        drain(run(x0))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            drain(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k = args.k
+    print(f"# n={args.n} {args.layers}x{args.hidden}, chain slope k=1 vs "
+          f"{k}; per-application DEVICE time:")
+    for name, f in [("xla fwd", lambda x: xla_fwd(x)),
+                    ("xla inv", lambda x: xla_inv(x)),
+                    ("fused fwd", lambda x: fused.forward(x)),
+                    ("fused inv", lambda x: fused.inverse(x))]:
+        t1 = timed(chain(f, 1), args.reps)
+        tk = timed(chain(f, k), args.reps)
+        dev_ms = 1e3 * (tk - t1) / (k - 1)
+        fixed_ms = 1e3 * t1 - dev_ms
+        print(f"{name:10s}: {dev_ms:7.2f} ms/app device "
+              f"({1e9*dev_ms*1e-3/args.n/args.layers:5.2f} ns/sample-layer)"
+              f" | single-call fixed ~{fixed_ms:5.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,10 +57,25 @@ class FusedTrainerBase:
         per_lane = self._lane_vmem_bytes()
         fits = [c for c in range(128, 1025, 128)
                 if n % c == 0 and fixed + c * per_lane <= self._VMEM_BUDGET]
-        # 128 is the floor: below it the kernels cannot tile at all. If even
-        # that estimate busts the budget, let the compiler have the final
-        # word (the estimate is deliberately conservative).
-        return max(fits) if fits else 128
+        if fits:
+            return max(fits)
+        # 128 is the floor: below it the kernels cannot tile at all. If
+        # even that is estimated well past the PHYSICAL core (not just
+        # the soft budget), fail with guidance instead of a compiler VMEM
+        # error — hidden 512 measured 130.5M/128M on v5e (round 5).
+        if (not getattr(self, "_interpret", False)
+                and fixed + 128 * per_lane > int(1.4 * self._VMEM_BUDGET)):
+            raise ValueError(
+                "this model is too wide for the fused trainer: the "
+                f"backward kernel needs ~{(fixed + 128 * per_lane) / 2**20:.0f}"
+                " MiB of VMEM at the minimum 128-lane tile (128 MiB/core "
+                "on v5e; measured ceiling hidden <= 384). Train on the "
+                "XLA chain (training.make_train_step) — at this width it "
+                "is also the measured throughput winner (BASELINE.md "
+                "round 5).")
+        # otherwise let the compiler have the final word (the estimate is
+        # deliberately conservative)
+        return 128
 
     def _fixed_vmem_bytes(self):
         """Lane-independent VMEM of the backward kernel: the weight scratch
@@ -76,12 +91,20 @@ class FusedTrainerBase:
         across all layers — i.e. the summed leading dims of the weight
         matrices. Measured anchors (flagship NSF, lanes=1024): estimate
         2.5 * 13,490 rows * 4 B = 132 KiB/lane vs 125 KiB/lane observed;
-        MAF: 126 KiB vs ~114 KiB observed. Conservative by design."""
+        MAF: 126 KiB vs ~114 KiB observed. WIDE hidden grows
+        superlinearly (round-5 hardware anchors: hidden 384 at lanes 256
+        estimated 95.8M but exceeded the 128M core, while lanes 128 runs;
+        hidden 512 exceeds it even at 128 lanes, 130.5M observed), so the
+        multiplier ramps with the conditioner width. Conservative by
+        design."""
         rows = sum(
             int(np.prod(w.shape[:-1]))
             for w in self.weights.values()
             if w.ndim >= 2 and w.shape[-1] > 1)
-        return int(4 * 2.5 * rows)
+        width = max((w.shape[-1] for w in self.weights.values()
+                     if w.ndim >= 2), default=0)
+        mult = 2.5 + max(0.0, (width - 256) / 64.0)
+        return int(4 * mult * rows)
 
     # -- hooks -------------------------------------------------------------
 

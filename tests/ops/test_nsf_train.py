@@ -322,3 +322,27 @@ def test_embedding_net_composes_with_fused_apply():
         np.testing.assert_allclose(np.asarray(g_w[k]),
                                    np.asarray(g_kernel[k]), atol=2e-4,
                                    err_msg=k)
+
+
+def test_wide_hidden_lane_tiles_and_clear_vmem_error():
+    """Round-5 hardware anchors: hidden 384 fits ONLY at the 128-lane
+    tile (lanes 256 exceeded the 128 MiB core despite the old estimate);
+    hidden 512 cannot fit at any tile and must raise a clear error with
+    XLA-chain guidance instead of a compiler VMEM failure. Interpret
+    mode (no VMEM) still constructs."""
+    import pytest
+
+    def wide_flow(h):
+        return NeuralSplineFlow(
+            features=6, hidden_features=h, num_layers=10,
+            num_blocks_per_layer=2, num_bins=8, key=jax.random.key(0),
+            rng=np.random.default_rng(0), stacked=True)
+
+    tr384 = FusedNSFTrainer(wide_flow(384), batch_size=1024,
+                            interpret=True)
+    assert tr384._lanes == 128, tr384._lanes
+
+    with pytest.raises(ValueError, match="too wide"):
+        FusedNSFTrainer(wide_flow(512), batch_size=1024, interpret=False)
+    # interpret mode has no VMEM; construction must still work
+    FusedNSFTrainer(wide_flow(512), batch_size=1024, interpret=True)
