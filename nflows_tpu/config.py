@@ -86,12 +86,13 @@ def packed_spline_select(enable=None):
     slower than unpacked at the flagship — kept for A/B); ``'auto'`` =
     reset to the per-path defaults.
 
-    Unset (``'auto'``, the default), the two kernel paths resolve
-    differently from measurement (BASELINE.md round 5, same-session
-    A/Bs): SERVING megakernels use ``'roll'`` (log_prob 1.43x -> 1.62x
-    XLA, sampling 1.60x -> 1.63x, numerics bit-identical to unpacked),
-    TRAINING kernels use the unpacked chain (roll measured a wash, -3%
-    at batch 2048). Setting any explicit value forces BOTH paths.
+    Unset (``'auto'``, the default), both paths use the unpacked chain:
+    the DEVICE-ONLY chain-slope A/B (benchmarks/serve_device_time.py,
+    BASELINE.md round 5) measures roll 4-8% SLOWER than unpacked
+    (10.7/11.3 ms vs 10.3/10.4 ms per 262k-sample pass) — the
+    single-dispatch timings that once favored roll were tunnel-latency
+    noise. Both packed styles remain correct (hw gate) and opt-in for
+    A/B on other hardware. Setting any explicit value forces BOTH paths.
     """
     if enable is not None:
         if enable == "auto":
@@ -108,11 +109,13 @@ def packed_spline_select(enable=None):
 
 def _packed_spline_style(path):
     """Resolve the packed-select style for ``path`` ('serving' or
-    'training'): the user's forced setting, else the measured per-path
-    default (see :func:`packed_spline_select`)."""
+    'training'): the user's forced setting, else the measured default
+    (unpacked for both paths — see :func:`packed_spline_select`; the
+    per-path hook stays so a future chip whose A/B flips can default
+    them separately)."""
     setting = _state["packed_spline_select"]
     if setting is None:
-        return "roll" if path == "serving" else False
+        return False
     return setting
 
 

@@ -1204,9 +1204,9 @@ def nsf_flow_kernel_call(
                 f"spline={spline!r} requires num_bins/tail_bound/"
                 "min_bin_width/min_bin_height/min_derivative")
         if packed_select is None:
-            # serving default: 'roll' (measured >= unpacked at every
-            # pairing, numerics bit-identical — BASELINE.md round 5);
-            # training callers pass their resolved style explicitly
+            # default: unpacked (the device-only chain-slope A/B has
+            # roll 4-8% slower — BASELINE.md round 5); training callers
+            # pass their resolved style explicitly
             from nflows_tpu import config
             packed_select = config._packed_spline_style("serving")
         spline = _packed_spline_name(spline, packed_select)

@@ -233,9 +233,10 @@ def test_fused_training_roll_grads_match_xla():
 
 
 def test_per_path_default_styles():
-    """Unset config resolves 'serving' -> roll (measured >= unpacked,
-    bit-identical numerics) and 'training' -> unpacked (measured a
-    wash); an explicit setting forces BOTH; 'auto' resets."""
+    """Unset config resolves BOTH paths to the unpacked chain (the
+    device-only chain-slope A/B measured roll 4-8% slower than unpacked
+    — BASELINE.md round 5); an explicit setting forces both; 'auto'
+    resets."""
     from nflows_tpu.ops.pallas.nsf_flow_kernel import _packed_spline_name
     from nflows_tpu.ops.pallas.nsf_train import _family_spline_config
 
@@ -244,21 +245,18 @@ def test_per_path_default_styles():
                   min_derivative=1e-3, min_lambda=None, num_bins=4)
     try:
         config.packed_spline_select("auto")
-        assert config._packed_spline_style("serving") == "roll"
+        assert config._packed_spline_style("serving") is False
         assert config._packed_spline_style("training") is False
         _, _, name, style = _family_spline_config(static)
         assert name == "rq" and style is False
-        # the serving kernel-name resolution applies the serving default
+
+        config.packed_spline_select("roll")  # force roll everywhere
+        assert config._packed_spline_style("serving") == "roll"
+        _, _, name, style = _family_spline_config(static)
+        assert name == "rq_packed_roll" and style == "roll"
         assert _packed_spline_name(
             "rq", config._packed_spline_style("serving")
         ) == "rq_packed_roll"
-
-        config.packed_spline_select(False)  # force unpacked everywhere
-        assert config._packed_spline_style("serving") is False
-
-        config.packed_spline_select("roll")  # force roll everywhere
-        _, _, name, style = _family_spline_config(static)
-        assert name == "rq_packed_roll" and style == "roll"
 
         config.packed_spline_select("auto")
         assert config.packed_spline_select() is False  # getter: forced-or-False
