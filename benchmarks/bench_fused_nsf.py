@@ -24,7 +24,7 @@ def main():
                    help="context_features (0 = unconditional); measures "
                         "the round-3 conditional fused path")
     p.add_argument("--packed", nargs="?", const="mm", default=None,
-                   choices=["mm", "roll", "off"],
+                   choices=["mm", "roll", "fat", "off"],
                    help="use the packed-sublane spline stage "
                         "(config.packed_spline_select) in the megakernel: "
                         "'mm' = kron matmul form, 'roll' = pltpu roll/"

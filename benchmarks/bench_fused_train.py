@@ -42,7 +42,7 @@ def main():
                         "mademog = mixture-density MADE "
                         "(FusedMADEMoGTrainer)")
     p.add_argument("--packed", nargs="?", const="mm", default=None,
-                   choices=["mm", "roll", "off"],
+                   choices=["mm", "roll", "fat", "off"],
                    help="packed-sublane spline stage in the fused trainer "
                         "(config.packed_spline_select): 'mm' = kron matmul "
                         "form, 'roll' = pltpu roll/repeat structural moves")

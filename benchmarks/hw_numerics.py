@@ -59,7 +59,7 @@ def main():
     z = jnp.asarray(rng.normal(size=(N, 6)), jnp.float32)
     z_ref, lad_f_ref = jax.jit(flow.transform.forward)(x)
     x_ref, lad_i_ref = jax.jit(flow.transform.inverse)(z)
-    for packed in (False, "mm", "roll"):
+    for packed in (False, "mm", "roll", "fat"):
         config.packed_spline_select(packed)
         fused = fuse_nsf(flow)
         tag = f"packed-{packed}" if packed else "unpacked"

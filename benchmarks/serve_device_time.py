@@ -28,7 +28,11 @@ def main():
     p.add_argument("--k", type=int, default=5, help="chain length")
     p.add_argument("--reps", type=int, default=6)
     p.add_argument("--packed", nargs="?", const="mm", default=None,
-                   choices=["mm", "roll", "off"])
+                   choices=["mm", "roll", "fat", "off"])
+    p.add_argument("--family", choices=["nsf", "maf"], default="nsf",
+                   help="maf = AR megakernel (5x256 d=10, the BASELINE "
+                        "MAF serving config; inverse is the D-step "
+                        "ancestral-sampling fixed point)")
     args = p.parse_args()
 
     import jax
@@ -44,13 +48,27 @@ def main():
         config.packed_spline_select(
             False if args.packed == "off" else args.packed)
 
-    flow = NeuralSplineFlow(
-        features=6, hidden_features=args.hidden, num_layers=args.layers,
-        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
-        key=jax.random.key(0), rng=np.random.default_rng(0))
-    fused = fuse_nsf(flow)
+    if args.family == "maf":
+        from nflows_tpu.flows import MaskedAutoregressiveFlow
+        from nflows_tpu.ops.pallas.maf_fused import fuse_maf
+
+        D = 10
+        flow = MaskedAutoregressiveFlow(
+            features=D, hidden_features=args.hidden, num_layers=5,
+            num_blocks_per_layer=2, use_random_permutations=True,
+            key=jax.random.key(0), rng=np.random.default_rng(0))
+        fused = fuse_maf(flow)
+        args.layers = 5
+    else:
+        D = 6
+        flow = NeuralSplineFlow(
+            features=D, hidden_features=args.hidden,
+            num_layers=args.layers, num_blocks_per_layer=2, num_bins=8,
+            tail_bound=3.0, key=jax.random.key(0),
+            rng=np.random.default_rng(0))
+        fused = fuse_nsf(flow)
     rng = np.random.default_rng(1)
-    x0 = jnp.asarray(rng.normal(size=(args.n, 6)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(args.n, D)), jnp.float32)
 
     xla_fwd = jax.jit(flow.transform.forward)
     xla_inv = jax.jit(flow.transform.inverse)

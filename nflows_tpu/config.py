@@ -86,36 +86,37 @@ def packed_spline_select(enable=None):
     slower than unpacked at the flagship — kept for A/B); ``'auto'`` =
     reset to the per-path defaults.
 
-    Unset (``'auto'``, the default), both paths use the unpacked chain:
-    the DEVICE-ONLY chain-slope A/B (benchmarks/serve_device_time.py,
-    BASELINE.md round 5) measures roll 4-8% SLOWER than unpacked
-    (10.7/11.3 ms vs 10.3/10.4 ms per 262k-sample pass) — the
-    single-dispatch timings that once favored roll were tunnel-latency
-    noise. Both packed styles remain correct (hw gate) and opt-in for
-    A/B on other hardware. Setting any explicit value forces BOTH paths.
+    Unset (``'auto'``, the default), the per-path defaults follow the
+    DEVICE-ONLY chain-slope A/Bs (benchmarks/serve_device_time.py,
+    BASELINE.md round 5): SERVING megakernels use ``'fat'`` —
+    bit-identical to unpacked and consistently 4-6% faster
+    (9.8-10.0 ms vs 10.2-11.3 ms per 262k-sample pass; five
+    measurements, no overlap) — while TRAINING kernels stay unpacked
+    (fat measured 0.91x at batch 512: the backward relayouts cost more
+    than the sublane win). ``'roll'``/``'mm'`` measured slower than
+    unpacked device-only and remain A/B levers. Setting any explicit
+    value forces BOTH paths.
     """
     if enable is not None:
         if enable == "auto":
             _state["packed_spline_select"] = None
-        elif enable in (False, True, "mm", "roll"):
+        elif enable in (False, True, "mm", "roll", "fat"):
             _state["packed_spline_select"] = enable
         else:
             raise ValueError(
-                "packed_spline_select must be False, True, 'mm', 'roll' "
-                f"or 'auto'; got {enable!r}")
+                "packed_spline_select must be False, True, 'mm', 'roll', "
+                f"'fat' or 'auto'; got {enable!r}")
     setting = _state["packed_spline_select"]
     return False if setting is None else setting
 
 
 def _packed_spline_style(path):
     """Resolve the packed-select style for ``path`` ('serving' or
-    'training'): the user's forced setting, else the measured default
-    (unpacked for both paths — see :func:`packed_spline_select`; the
-    per-path hook stays so a future chip whose A/B flips can default
-    them separately)."""
+    'training'): the user's forced setting, else the measured per-path
+    default (see :func:`packed_spline_select`)."""
     setting = _state["packed_spline_select"]
     if setting is None:
-        return False
+        return "fat" if path == "serving" else False
     return setting
 
 

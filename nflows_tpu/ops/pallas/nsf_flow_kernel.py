@@ -1019,6 +1019,32 @@ def _affine_TR(x_in, P, *, num_bins, T, inverse, scale_act):
     return x_in * scale + shift, log_scale
 
 
+def _fat_TR(fn):
+    """Full-sublane ('fat') relayout wrapper for an elementwise [T, R]
+    spline stage: reshape x [T, R] -> [T*R/128, 128] and P's stacked
+    param rows the same way, run the UNCHANGED spline at T' = T*R/128,
+    reshape back. Every spline family here is purely per-element with
+    per-element params (no cross-element reductions), and the row-major
+    reshape keeps each element paired with its own param rows, so the
+    result is BIT-IDENTICAL to the unpacked chain — only the vector
+    layout changes: [3, R] tiles use 3 of 8 sublanes per vreg; [24, 128]
+    uses all 8 (measured 1616 vs 514 Gelem-op/s dependent-chain rate,
+    benchmarks/vpu_roofline.py). The round-2 blocker — Mosaic hanging on
+    in-kernel lane->sublane reshapes — is gone on the current toolchain
+    (63.8 s compile, bit-exact, /tmp probe 2026-08-20; re-pin with
+    benchmarks/mosaic_bisect.py if a toolchain change regresses it)."""
+    @functools.wraps(fn)
+    def wrapper(x_in, P, *, T, **kw):
+        R = x_in.shape[1]
+        if R % 128 or R == 128:
+            return fn(x_in, P, T=T, **kw)
+        F = R // 128
+        out, lad = fn(x_in.reshape(T * F, 128), P.reshape(-1, 128),
+                      T=T * F, **kw)
+        return out.reshape(T, R), lad.reshape(T, R)
+    return wrapper
+
+
 _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
                "rq_packed": _rq_spline_TR_packed,
                "lrs_packed": _lrs_spline_TR_packed,
@@ -1027,18 +1053,22 @@ _SPLINES_TR = {"rq": _rq_spline_TR, "lrs": _lrs_spline_TR,
                "affine": _affine_TR, "additive": _affine_TR,
                "linear": _linear_TR, "quadratic": _quadratic_TR,
                "cubic": _cubic_TR}
+for _fam in ("rq", "lrs", "linear", "quadratic", "cubic"):
+    _SPLINES_TR[f"{_fam}_fat"] = _fat_TR(_SPLINES_TR[_fam])
 
 
 def _packed_spline_name(family, style):
     """Resolve the kernel spline name for a packed-select style.
 
-    ``style``: falsy = unpacked; ``'roll'`` = roll/repeat structural
-    moves (:func:`_packed_select_roll`); ``'mm'``/``True`` = the
-    kron(S, I_T) HIGHEST-precision matmul form (:func:`_packed_select`).
-    Families without a packed variant stay unpacked."""
+    ``style``: falsy = unpacked; ``'fat'`` = full-sublane relayout of
+    the unchanged spline (:func:`_fat_TR`); ``'roll'`` = roll/repeat
+    structural moves (:func:`_packed_select_roll`); ``'mm'``/``True`` =
+    the kron(S, I_T) HIGHEST-precision matmul form
+    (:func:`_packed_select`). Families without a variant stay
+    unpacked."""
     if not style:
         return family
-    suffix = "_packed_roll" if style == "roll" else "_packed"
+    suffix = {"roll": "_packed_roll", "fat": "_fat"}.get(style, "_packed")
     name = f"{family}{suffix}"
     return name if name in _SPLINES_TR else family
 

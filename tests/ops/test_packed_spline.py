@@ -233,10 +233,10 @@ def test_fused_training_roll_grads_match_xla():
 
 
 def test_per_path_default_styles():
-    """Unset config resolves BOTH paths to the unpacked chain (the
-    device-only chain-slope A/B measured roll 4-8% slower than unpacked
-    — BASELINE.md round 5); an explicit setting forces both; 'auto'
-    resets."""
+    """Unset config resolves 'serving' -> fat (bit-identical, 4-6%
+    faster device-only) and 'training' -> unpacked (fat measured 0.91x
+    at batch 512) — BASELINE.md round 5; an explicit setting forces
+    both; 'auto' resets."""
     from nflows_tpu.ops.pallas.nsf_flow_kernel import _packed_spline_name
     from nflows_tpu.ops.pallas.nsf_train import _family_spline_config
 
@@ -245,8 +245,10 @@ def test_per_path_default_styles():
                   min_derivative=1e-3, min_lambda=None, num_bins=4)
     try:
         config.packed_spline_select("auto")
-        assert config._packed_spline_style("serving") is False
+        assert config._packed_spline_style("serving") == "fat"
         assert config._packed_spline_style("training") is False
+        assert _packed_spline_name(
+            "rq", config._packed_spline_style("serving")) == "rq_fat"
         _, _, name, style = _family_spline_config(static)
         assert name == "rq" and style is False
 
@@ -262,3 +264,67 @@ def test_per_path_default_styles():
         assert config.packed_spline_select() is False  # getter: forced-or-False
     finally:
         config._state["packed_spline_select"] = None
+
+
+@pytest.mark.parametrize("family", ["rq", "lrs", "linear", "quadratic",
+                                    "cubic"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fat_is_bit_identical(family, inverse):
+    """The fat (full-sublane relayout) style must be BIT-identical to
+    the unpacked chain: the row-major reshape keeps every element paired
+    with its own param rows and no reduction changes association. R=512
+    so the relayout actually engages (R=128 is a no-op)."""
+    from nflows_tpu.ops.pallas.nsf_flow_kernel import _SPLINES_TR
+
+    Rbig = 512
+    nP = {"rq": 3 * K - 1, "lrs": 4 * K - 1, "linear": K,
+          "quadratic": 2 * K + 1, "cubic": 2 * K + 2}[family]
+    rng = np.random.default_rng(7 + inverse)
+    x = jnp.asarray(rng.normal(size=(T, Rbig)) * 2.0, jnp.float32)
+    P = jnp.asarray(rng.normal(size=(nP * T, Rbig)) * 0.4, jnp.float32)
+    kw = dict(num_bins=K, T=T, inverse=inverse, tail_bound=3.0)
+    if family in ("rq", "lrs", "quadratic", "cubic"):
+        kw.update(min_bin_width=1e-3, min_bin_height=1e-3)
+    if family in ("rq", "lrs"):
+        kw.update(min_derivative=1e-3)
+    if family == "lrs":
+        kw.update(min_lambda=0.025)
+    o1, l1 = _SPLINES_TR[family](x, P, **kw)
+    o2, l2 = _SPLINES_TR[family + "_fat"](x, P, **kw)
+    assert bool(jnp.all(o1 == o2)) and bool(jnp.all(l1 == l2))
+
+    # gradients route through the reshape pair unchanged
+    def f(table, P_):
+        out, lad = table(x, P_, **kw)
+        return jnp.sum(out) + jnp.sum(lad)
+
+    g1 = jax.grad(lambda P_: f(_SPLINES_TR[family], P_))(P)
+    g2 = jax.grad(lambda P_: f(_SPLINES_TR[family + "_fat"], P_))(P)
+    assert bool(jnp.all(g1 == g2))
+
+
+def test_kernel_dispatch_fat_style():
+    """config.packed_spline_select('fat') routes the fused kernel
+    through the full-sublane relayout — end-to-end numerics equal the
+    unpacked chain bit-for-bit (lanes=256 so the relayout engages)."""
+    flow = NeuralSplineFlow(
+        features=6, hidden_features=32, num_layers=4,
+        num_blocks_per_layer=2, num_bins=8, tail_bound=3.0,
+        key=jax.random.key(0), rng=np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(256, 6)) * 2,
+                    jnp.float32)
+    try:
+        config.packed_spline_select(False)
+        fused_u = fuse_nsf(flow, dtype=jnp.float32, lanes=256,
+                           interpret=True)
+        y_u, lad_u = fused_u.forward(x)
+        z_u, ladi_u = fused_u.inverse(x)
+        config.packed_spline_select("fat")
+        fused_f = fuse_nsf(flow, dtype=jnp.float32, lanes=256,
+                           interpret=True)
+        y_f, lad_f = fused_f.forward(x)
+        z_f, ladi_f = fused_f.inverse(x)
+    finally:
+        config._state["packed_spline_select"] = None
+    assert bool(jnp.all(y_u == y_f)) and bool(jnp.all(lad_u == lad_f))
+    assert bool(jnp.all(z_u == z_f)) and bool(jnp.all(ladi_u == ladi_f))
