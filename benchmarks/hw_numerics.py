@@ -69,7 +69,9 @@ def main():
         check(f"nsf {tag} fwd lad", float(jnp.max(jnp.abs(lf - lad_f_ref))), 2e-2)
         check(f"nsf {tag} inv out", float(jnp.max(jnp.abs(xf - x_ref))), 5e-3)
         check(f"nsf {tag} inv lad", float(jnp.max(jnp.abs(li - lad_i_ref))), 2e-2)
-    config.packed_spline_select(False)
+    config.packed_spline_select("auto")  # restore per-path defaults
+    # (serving 'fat', training unpacked) so every later section gates
+    # the SHIPPING configuration, not a forced style
 
     # --- fused NSF training: loss+grads vs XLA autodiff on hardware ---
     tr = FusedNSFTrainer(flow, batch_size=128)
@@ -91,7 +93,7 @@ def main():
     config.packed_spline_select("roll")
     tr_roll = FusedNSFTrainer(flow, batch_size=128)
     loss_r, grads_r = tr_roll._value_and_grad()(tr_roll.weights, xb.T)
-    config.packed_spline_select(False)
+    config.packed_spline_select("auto")
     check("nsf fused-train roll loss", abs(float(loss_r) - loss_x), 5e-3)
     gerr_r = max(
         float(jnp.max(jnp.abs(a - b)))

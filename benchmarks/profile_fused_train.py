@@ -18,21 +18,18 @@ Usage: python benchmarks/profile_fused_train.py --family maf --batch 2048
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
+from benchmarks._timing import timeit_calls
+
 
 def _timeit(fn, args_list, drain, reps):
-    drain(fn(*args_list[-1]))  # warmup/compile
-    best = float("inf")
-    for a in args_list[:reps]:
-        t0 = time.perf_counter()
-        drain(fn(*a))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    # thin adapter over the shared protocol (benchmarks/_timing.py):
+    # last entry is the untimed warmup, the first `reps` are timed
+    return timeit_calls(fn, args_list[:reps] + [args_list[-1]], drain)
 
 
 def main():

@@ -34,11 +34,11 @@ run() {
 }
 
 # --- item 1: serving A/B, unpacked vs roll (same session, back to back) ---
-run serve_unpacked   1200 benchmarks/bench_fused_nsf.py
+run serve_unpacked   1200 benchmarks/bench_fused_nsf.py --packed off
 run serve_roll       1200 benchmarks/bench_fused_nsf.py --packed roll
 
 # --- item 1 decisive: the one-kernel fused trainer with the roll stage ---
-run train_unpacked   1800 benchmarks/bench_fused_train.py --batch 512 1024 2048
+run train_unpacked   1800 benchmarks/bench_fused_train.py --batch 512 1024 2048 --packed off
 run train_roll       1800 benchmarks/bench_fused_train.py --batch 512 1024 2048 --packed roll
 
 # --- item 3: name the fused-AR training overhead ---

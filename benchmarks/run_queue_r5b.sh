@@ -24,7 +24,7 @@ run() {
 
 run hw_numerics      1800 benchmarks/hw_numerics.py
 run verify_user      1800 /tmp/verify_r5.py
-run serve_unpacked2  1200 benchmarks/bench_fused_nsf.py
+run serve_unpacked2  1200 benchmarks/bench_fused_nsf.py --packed off
 run serve_roll2      1200 benchmarks/bench_fused_nsf.py --packed roll
 run prof_maf_fix     1800 benchmarks/profile_fused_train.py --family maf --batch 2048
 run prof_mademog_fix 1800 benchmarks/profile_fused_train.py --family mademog --batch 2048

@@ -13,11 +13,12 @@ Usage: python benchmarks/serve_device_time.py [--k 5] [--packed roll|mm|off]
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from benchmarks._timing import timeit_calls
 
 
 def main():
@@ -68,7 +69,9 @@ def main():
             rng=np.random.default_rng(0))
         fused = fuse_nsf(flow)
     rng = np.random.default_rng(1)
-    x0 = jnp.asarray(rng.normal(size=(args.n, D)), jnp.float32)
+    xs = [jnp.asarray(rng.normal(size=(args.n, D)), jnp.float32)
+          for _ in range(args.reps + 1)]
+    x0 = xs[0]
 
     xla_fwd = jax.jit(flow.transform.forward)
     xla_inv = jax.jit(flow.transform.inverse)
@@ -87,14 +90,9 @@ def main():
         return run
 
     def timed(run, reps):
-        drain = lambda o: float(o[0])
-        drain(run(x0))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            drain(run(x0))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        # shared fetch-based protocol, fresh inputs per rep
+        return timeit_calls(run, [(x,) for x in xs[:reps]] + [(xs[-1],)],
+                            lambda o: float(o[0]))
 
     k = args.k
     print(f"# n={args.n} {args.layers}x{args.hidden}, chain slope k=1 vs "

@@ -139,15 +139,14 @@ def microbench():
     G = 32
 
     def timed(call, args, reps=4):
+        # shared fetch-based protocol (benchmarks/_timing.py); the same
+        # VMEM-resident input repeats — slope subtraction cancels any
+        # re-dispatch anomaly along with every other fixed cost
+        from benchmarks._timing import timeit_calls
+
         jf = jax.jit(call)
-        drain = lambda o: float(jnp.asarray(o).ravel()[0])
-        drain(jf(*args))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            drain(jf(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return timeit_calls(jf, [args] * (reps + 1),
+                            lambda o: float(jnp.asarray(o).ravel()[0]))
 
     def chain_time(shape, n, op):
         def kernel(x_ref, o_ref):

@@ -25,11 +25,11 @@ _state = {
     # workloads (learned-CDF stacks with no adjacent GEMM) with
     # set_pallas_splines(True) or NFLOWS_TPU_ENABLE_PALLAS=1.
     "use_pallas_splines": None,
-    # Whole-flow megakernel spline stage: operate on the K-bin-packed
-    # [K*T, R] sublane layout (full VPU utilization, structural moves as
-    # tiny kron(S, I_T) MXU matmuls) instead of ~O(K) chains of skinny
-    # [T, R] ops. See nsf_flow_kernel._rq_spline_TR_packed. None currently
-    # resolves to False (unpacked) pending TPU measurement; True opts in.
+    # Whole-flow megakernel spline-stage layout style. None = per-path
+    # measured defaults ('fat' full-sublane relayout for serving,
+    # unpacked for training — BASELINE.md round 5); an explicit value
+    # (False/'fat'/'roll'/'mm'/True) forces BOTH paths. See
+    # packed_spline_select() / _packed_spline_style().
     "packed_spline_select": None,
     # Per-family overrides of the fused-training auto-crossover floors
     # (see fused_train_crossover()).

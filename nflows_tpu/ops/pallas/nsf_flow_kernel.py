@@ -1058,6 +1058,23 @@ for _fam in ("rq", "lrs", "linear", "quadratic", "cubic"):
     _SPLINES_TR[f"{_fam}_fat"] = _fat_TR(_SPLINES_TR[_fam])
 
 
+def _lane_split_env():
+    """Parse the experimental NFLOWS_TPU_LANE_SPLIT knob (positive int,
+    default 1) with a clear error instead of a bare int()/ZeroDivision
+    failure at trace time."""
+    raw = os.environ.get("NFLOWS_TPU_LANE_SPLIT", "1")
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"NFLOWS_TPU_LANE_SPLIT must be a positive integer; got "
+            f"{raw!r}") from None
+    if val < 1:
+        raise ValueError(
+            f"NFLOWS_TPU_LANE_SPLIT must be >= 1; got {val}")
+    return val
+
+
 def _packed_spline_name(family, style):
     """Resolve the kernel spline name for a packed-select style.
 
@@ -1251,21 +1268,25 @@ def nsf_flow_kernel_call(
             raise ValueError(
                 f"spline={spline!r} requires num_bins/tail_bound/"
                 "min_bin_width/min_bin_height/min_derivative")
-        if packed_select is None:
-            # default: unpacked (the device-only chain-slope A/B has
-            # roll 4-8% slower — BASELINE.md round 5); training callers
-            # pass their resolved style explicitly
-            from nflows_tpu import config
-            packed_select = config._packed_spline_style("serving")
-        spline = _packed_spline_name(spline, packed_select)
         spline_kw = dict(
             tail_bound=tail_bound, min_bin_width=min_bin_width,
             min_bin_height=min_bin_height, min_derivative=min_derivative,
         )
-        if spline.startswith("lrs"):  # lrs / lrs_packed / lrs_packed_roll
+        if spline == "lrs":
             if min_lambda is None:
                 raise ValueError("min_lambda is required for spline='lrs'")
             spline_kw["min_lambda"] = min_lambda
+    if spline not in ("affine", "additive"):
+        # style resolution applies to EVERY spline family ('fat' exists
+        # for all five; packed variants for rq/lrs only — families
+        # without the requested variant stay unpacked)
+        if packed_select is None:
+            # serving default: 'fat' (bit-identical, 4-6% faster
+            # device-only — BASELINE.md round 5); training callers pass
+            # their resolved style explicitly
+            from nflows_tpu import config
+            packed_select = config._packed_spline_style("serving")
+        spline = _packed_spline_name(spline, packed_select)
     kernel = functools.partial(
         _kernel,
         layer_indices=tuple(layer_indices),
@@ -1280,7 +1301,8 @@ def nsf_flow_kernel_call(
         wh_scale=wh_scale,
         # experimental MXU/VPU overlap knob (round 5): interleave two
         # independent lane-half chains per grid step; bit-identical
-        lane_split=int(os.environ.get("NFLOWS_TPU_LANE_SPLIT", "1")),
+        # (measured SLOWER at split=2 — BASELINE.md round 5)
+        lane_split=_lane_split_env(),
     )
 
     # weights pinned to HBM (BlockSpec'd VMEM inputs would be

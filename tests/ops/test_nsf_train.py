@@ -324,12 +324,15 @@ def test_embedding_net_composes_with_fused_apply():
                                    err_msg=k)
 
 
-def test_wide_hidden_lane_tiles_and_clear_vmem_error():
+def test_wide_hidden_lane_tiles_and_vmem_warning():
     """Round-5 hardware anchors: hidden 384 fits ONLY at the 128-lane
     tile (lanes 256 exceeded the 128 MiB core despite the old estimate);
-    hidden 512 cannot fit at any tile and must raise a clear error with
-    XLA-chain guidance instead of a compiler VMEM failure. Interpret
-    mode (no VMEM) still constructs."""
+    hidden 512 is estimated past the physical core and must WARN with
+    XLA-chain guidance up front (the compiler still gets the final word
+    — the estimate is a heuristic and must never falsely block).
+    Interpret mode (no VMEM) stays silent."""
+    import warnings
+
     import pytest
 
     def wide_flow(h):
@@ -342,7 +345,11 @@ def test_wide_hidden_lane_tiles_and_clear_vmem_error():
                             interpret=True)
     assert tr384._lanes == 128, tr384._lanes
 
-    with pytest.raises(ValueError, match="too wide"):
-        FusedNSFTrainer(wide_flow(512), batch_size=1024, interpret=False)
-    # interpret mode has no VMEM; construction must still work
-    FusedNSFTrainer(wide_flow(512), batch_size=1024, interpret=True)
+    with pytest.warns(UserWarning, match="likely too wide"):
+        tr512 = FusedNSFTrainer(wide_flow(512), batch_size=1024,
+                                interpret=False)
+    assert tr512._lanes == 128
+    # interpret mode has no VMEM; construction stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        FusedNSFTrainer(wide_flow(512), batch_size=1024, interpret=True)
