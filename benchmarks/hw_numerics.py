@@ -73,6 +73,41 @@ def main():
     # (serving 'fat', training unpacked) so every later section gates
     # the SHIPPING configuration, not a forced style
 
+    # --- cubic coupling through the DEFAULT (fat) serving path: a
+    # different param-row count (2K+2 vs rq's 3K-1) exercises the fat
+    # relayout's P reshape on hardware too ---
+    from nflows_tpu.distributions import StandardNormal
+    from nflows_tpu.flows.base import Flow
+    from nflows_tpu.nn import nets
+    from nflows_tpu.transforms import (
+        CompositeTransform,
+        PiecewiseCubicCouplingTransform,
+        RandomPermutation,
+    )
+
+    crng = np.random.default_rng(4)
+    ckeys = jax.random.split(jax.random.key(4), 4)
+    cmask = np.ones(6, dtype=np.float32)
+    cmask[::2] = -1
+    cchain = []
+    for i in range(4):
+        def create(inf, outf, _k=ckeys[i]):
+            return nets.ResidualNet(inf, outf, hidden_features=64,
+                                    num_blocks=2, key=_k)
+        cchain.append(RandomPermutation(6, rng=crng))
+        cchain.append(PiecewiseCubicCouplingTransform(
+            mask=cmask, transform_net_create_fn=create, num_bins=8,
+            tails="linear", tail_bound=3.0))
+        cmask = cmask * -1
+    cub = Flow(transform=CompositeTransform(cchain),
+               distribution=StandardNormal([6]))
+    zc_ref, lc_ref = jax.jit(cub.transform.forward)(x)
+    zc_f, lc_f = fuse_nsf(cub).forward(x)
+    check("cubic fat-default fwd out",
+          float(jnp.max(jnp.abs(zc_f - zc_ref))), 5e-3)
+    check("cubic fat-default fwd lad",
+          float(jnp.max(jnp.abs(lc_f - lc_ref))), 2e-2)
+
     # --- fused NSF training: loss+grads vs XLA autodiff on hardware ---
     tr = FusedNSFTrainer(flow, batch_size=128)
     xb = x[:128]
