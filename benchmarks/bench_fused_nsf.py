@@ -3,6 +3,14 @@ log_prob throughput on the flagship 10x256 d=6 RQ-NSF.
 
 Timing per benchmarks/_timing.py: dispatch -> scalar fetch of a value that
 data-depends on the whole computation, fresh inputs per rep.
+
+NOTE (round 5): these are single-dispatch WALL times — they include the
+~24 ms tunnel round-trip un-amortized, which understates the fused
+speedup (measures 1.4-1.9x where the device-only ratio is 4.2-4.9x) and
+drowns style-level (fat/roll/mm) differences in latency noise. For
+device-only numbers and style A/Bs use benchmarks/serve_device_time.py
+(chain-slope method). Kept because wall latency through this tunnel IS
+what a single remote call costs end to end.
 """
 
 import argparse
