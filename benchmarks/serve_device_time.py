@@ -34,6 +34,9 @@ def main():
                    help="maf = AR megakernel (5x256 d=10, the BASELINE "
                         "MAF serving config; inverse is the D-step "
                         "ancestral-sampling fixed point)")
+    p.add_argument("--context", type=int, default=0,
+                   help="context_features (0 = unconditional): measures "
+                        "the conditional serving path device-only")
     args = p.parse_args()
 
     import jax
@@ -49,6 +52,7 @@ def main():
         config.packed_spline_select(
             False if args.packed == "off" else args.packed)
 
+    ctx_f = args.context or None
     if args.family == "maf":
         from nflows_tpu.flows import MaskedAutoregressiveFlow
         from nflows_tpu.ops.pallas.maf_fused import fuse_maf
@@ -57,6 +61,7 @@ def main():
         flow = MaskedAutoregressiveFlow(
             features=D, hidden_features=args.hidden, num_layers=5,
             num_blocks_per_layer=2, use_random_permutations=True,
+            context_features=ctx_f,
             key=jax.random.key(0), rng=np.random.default_rng(0))
         fused = fuse_maf(flow)
         args.layers = 5
@@ -65,16 +70,26 @@ def main():
         flow = NeuralSplineFlow(
             features=D, hidden_features=args.hidden,
             num_layers=args.layers, num_blocks_per_layer=2, num_bins=8,
-            tail_bound=3.0, key=jax.random.key(0),
-            rng=np.random.default_rng(0))
+            tail_bound=3.0, context_features=ctx_f,
+            key=jax.random.key(0), rng=np.random.default_rng(0))
         fused = fuse_nsf(flow)
     rng = np.random.default_rng(1)
     xs = [jnp.asarray(rng.normal(size=(args.n, D)), jnp.float32)
           for _ in range(args.reps + 1)]
     x0 = xs[0]
 
-    xla_fwd = jax.jit(flow.transform.forward)
-    xla_inv = jax.jit(flow.transform.inverse)
+    if ctx_f is not None:
+        crng = np.random.default_rng(2)
+        ctx = jnp.asarray(crng.normal(size=(args.n, ctx_f)), jnp.float32)
+        xla_fwd = jax.jit(lambda v: flow.transform.forward(v, context=ctx))
+        xla_inv = jax.jit(lambda v: flow.transform.inverse(v, context=ctx))
+        fused_fwd = lambda v: fused.forward(v, context=ctx)
+        fused_inv = lambda v: fused.inverse(v, context=ctx)
+    else:
+        xla_fwd = jax.jit(flow.transform.forward)
+        xla_inv = jax.jit(flow.transform.inverse)
+        fused_fwd = fused.forward
+        fused_inv = fused.inverse
 
     def chain(f, k):
         @jax.jit
@@ -99,8 +114,8 @@ def main():
           f"{k}; per-application DEVICE time:")
     for name, f in [("xla fwd", lambda x: xla_fwd(x)),
                     ("xla inv", lambda x: xla_inv(x)),
-                    ("fused fwd", lambda x: fused.forward(x)),
-                    ("fused inv", lambda x: fused.inverse(x))]:
+                    ("fused fwd", lambda x: fused_fwd(x)),
+                    ("fused inv", lambda x: fused_inv(x))]:
         t1 = timed(chain(f, 1), args.reps)
         tk = timed(chain(f, k), args.reps)
         dev_ms = 1e3 * (tk - t1) / (k - 1)
