@@ -2,6 +2,11 @@
 log_prob throughput (5x256 d=10 — the BASELINE.md MAF config).
 
 Timing per benchmarks/_timing.py (dispatch -> scalar fetch, fresh inputs).
+
+NOTE (round 5): single-dispatch WALL times — the ~24 ms tunnel
+round-trip is un-amortized and understates the fused speedup
+(device-only ratios are ~1.6x larger; see serve_device_time.py
+--family maf for the chain-slope numbers).
 """
 
 import argparse
